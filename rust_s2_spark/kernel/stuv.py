@@ -1,0 +1,148 @@
+"""Vectorized cube-face coordinate transforms (parity: /root/reference/src/s2/stuv.rs).
+
+All functions operate on numpy arrays (broadcastable) so whole columns of
+geometry move through them in one shot inside pandas/Arrow UDFs — no per-row
+Python anywhere.
+
+Only the quadratic projection is implemented (stuv.rs:24-38 — the reference
+supports no other projection, metric.rs:50).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import MAX_SI_TI, MAX_SIZE
+
+__all__ = [
+    "siti_to_st",
+    "st_to_siti",
+    "st_to_uv",
+    "uv_to_st",
+    "st_to_ij",
+    "ij_to_stmin",
+    "face",
+    "valid_face_xyz_to_uv",
+    "xyz_to_face_uv",
+    "face_uv_to_xyz",
+    "latlng_to_xyz",
+    "xyz_to_latlng",
+]
+
+
+def siti_to_st(si):
+    """si/ti integer [0, 2**31] -> s/t in [0,1] (stuv.rs:7-13)."""
+    return np.asarray(si, dtype=np.float64) / float(MAX_SI_TI)
+
+
+def st_to_siti(s):
+    """s/t -> nearest si/ti integer (stuv.rs:15-22)."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s < 0, (s * MAX_SI_TI - 0.5), (s * MAX_SI_TI + 0.5)).astype(np.int64)
+
+
+def st_to_uv(s):
+    """Quadratic projection s in [0,1] -> u in [-1,1] (stuv.rs:24-30)."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+def uv_to_st(u):
+    """Inverse quadratic projection u in [-1,1] -> s in [0,1] (stuv.rs:32-38)."""
+    u = np.asarray(u, dtype=np.float64)
+    # np.where evaluates both branches; mask keeps sqrt args non-negative.
+    pos = u >= 0
+    return np.where(
+        pos,
+        0.5 * np.sqrt(1.0 + 3.0 * np.where(pos, u, 0.0)),
+        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.where(pos, 0.0, u)),
+    )
+
+
+def st_to_ij(s):
+    """s in [0,1] -> leaf i in [0, 2**30) with clamping (cellid.rs:800-802)."""
+    s = np.asarray(s, dtype=np.float64)
+    ij = np.floor(MAX_SIZE * s).astype(np.int64)
+    return np.clip(ij, 0, MAX_SIZE - 1)
+
+
+def ij_to_stmin(i):
+    """Leaf index -> minimum s of that leaf (cellid.rs:795-797)."""
+    return np.asarray(i, dtype=np.float64) / float(MAX_SIZE)
+
+
+def face(x, y, z):
+    """Cube face 0-5 with the largest |component| (stuv.rs:40-56)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    f = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(f, [x, y, z])
+    return np.where(comp < 0, f + 3, f).astype(np.int64)
+
+
+def valid_face_xyz_to_uv(f, x, y, z):
+    """(face, xyz) -> (u, v); point must be on the +side of the face (stuv.rs:58-66)."""
+    f = np.asarray(f, dtype=np.int64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    # np.select evaluates every branch; unselected branches may divide by zero.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return _face_uv_select(f, x, y, z)
+
+
+def _face_uv_select(f, x, y, z):
+    u = np.select(
+        [f == 0, f == 1, f == 2, f == 3, f == 4],
+        [y / x, -x / y, -x / z, z / x, z / y],
+        default=-y / z,
+    )
+    v = np.select(
+        [f == 0, f == 1, f == 2, f == 3, f == 4],
+        [z / x, z / y, -y / z, y / x, -x / y],
+        default=-x / z,
+    )
+    return u, v
+
+
+def xyz_to_face_uv(x, y, z):
+    """xyz -> (face, u, v) (stuv.rs:70-74)."""
+    f = face(x, y, z)
+    u, v = valid_face_xyz_to_uv(f, x, y, z)
+    return f, u, v
+
+
+def face_uv_to_xyz(f, u, v):
+    """(face, u, v) -> un-normalized xyz (stuv.rs:76-86)."""
+    f = np.asarray(f, dtype=np.int64)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    x = np.select([f == 0, f == 1, f == 2, f == 3, f == 4], [one, -u, -u, -one, v], default=v)
+    y = np.select([f == 0, f == 1, f == 2, f == 3, f == 4], [u, one, -v, -v, -one], default=u)
+    z = np.select([f == 0, f == 1, f == 2, f == 3, f == 4], [v, v, one, -u, -u], default=-one)
+    return x, y, z
+
+
+def latlng_to_xyz(lat_deg, lng_deg):
+    """Degrees lat/lng -> unit xyz (latlng.rs:84-95 semantics)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lng), cos_lat * np.sin(lng), np.sin(lat)
+
+
+def xyz_to_latlng(x, y, z):
+    """xyz (any length) -> degrees lat/lng (latlng.rs:70-81 semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    lat = np.arctan2(z, np.sqrt(x * x + y * y))
+    lng = np.arctan2(y, x)
+    return np.degrees(lat), np.degrees(lng)
