@@ -1,0 +1,44 @@
+"""SparkSession construction tuned for the spatial engine.
+
+Local testing runs ``local[N]``; the same builder flags are what we'd ship to a
+1000-executor cluster: AQE on (skew-join splitting + dynamic coalescing), Arrow
+on (every geometry kernel rides pandas UDFs), and shuffle partitions sized by
+the caller (default 32 locally; at cluster scale set ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "rust-s2-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Iceberg catalog wiring: active automatically when the runtime ships
+        # the iceberg-spark runtime jar (production path). Local sandbox has no
+        # jar -> engine.checkpoint falls back to parquet checkpoints.
+        .config("spark.sql.catalog.spark_catalog.warehouse", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/s2_warehouse"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
