@@ -1,0 +1,262 @@
+"""Cell-prefix spatial joins: covering explode, per-level equi-join, salting.
+
+The cluster-scale replacement for the reference's single-machine ShapeIndex
+(shape_index.rs:635-1728): docs carry a leaf cellid; query regions are exploded
+to covering cells; the join is a *union of per-level equi-joins* on
+``parent(doc_leaf, cover_level)`` — a pure bit-op column, so Catalyst sees an
+ordinary equi-join it can broadcast or sort-merge, never a BNLJ range join.
+
+Scale design:
+- Region side is small (query shapes) -> broadcast() by default. At 100 TB the
+  doc side streams through map-side hash joins with zero shuffle of doc rows
+  for the coarse stage.
+- Hot cells (cities) -> deterministic salting: doc side salts by
+  pmod(xxhash64(doc_id), n); region side explodes xn. Used when the region
+  side must be shuffled (sort-merge path) or when refine groups skew.
+- Refine stage is a vectorized numpy predicate (cap chord / rect interval)
+  over Arrow batches — exact, no trig in the cap path (cap.rs:212-214).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernel import hierarchy as h
+from ..kernel.covering import RegionCoverer
+from ..kernel.region import Cap, Rect
+from ..kernel.constants import MAX_LEVEL
+from . import tiling
+
+__all__ = [
+    "cap_regions_df",
+    "rect_regions_df",
+    "covering_join",
+    "cap_join",
+    "rect_join",
+    "salted",
+]
+
+
+# ---------------------------------------------------------------------------
+# Region table construction (driver side: regions are few)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CapSpec:
+    region_id: str
+    lat: float
+    lng: float
+    radius_deg: float
+
+
+@dataclass
+class RectSpec:
+    region_id: str
+    lat_lo: float
+    lng_lo: float
+    lat_hi: float
+    lng_hi: float
+
+
+def _covering_rows(region_id: str, region, coverer: RegionCoverer):
+    cov = coverer.covering(region)
+    rows = []
+    for cid in cov.ids:
+        u = np.uint64(cid)
+        rows.append(
+            (
+                region_id,
+                int(np.int64(u)),
+                int(h.level(u)),
+                int(np.int64(h.range_min(u))),
+                int(np.int64(h.range_max(u))),
+            )
+        )
+    return rows
+
+
+_COVER_SCHEMA = (
+    "region_id string, cover_cell long, cover_level int, range_min long, range_max long"
+)
+
+
+def cap_regions_df(
+    spark: SparkSession, caps: list[CapSpec], coverer: RegionCoverer | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (regions, coverings): regions carries the exact-refine params
+    (unit-vector center + squared chord radius), coverings the exploded cells."""
+    coverer = coverer or RegionCoverer(max_cells=8)
+    reg_rows, cov_rows = [], []
+    for c in caps:
+        cap = Cap.from_latlng_radius(c.lat, c.lng, c.radius_deg)
+        reg_rows.append(
+            (c.region_id, float(cap.center[0]), float(cap.center[1]), float(cap.center[2]), cap.radius2)
+        )
+        cov_rows.extend(_covering_rows(c.region_id, cap, coverer))
+    regions = spark.createDataFrame(
+        reg_rows, "region_id string, cx double, cy double, cz double, radius2 double"
+    )
+    coverings = spark.createDataFrame(cov_rows, _COVER_SCHEMA)
+    return regions, coverings
+
+
+def rect_regions_df(
+    spark: SparkSession, rects: list[RectSpec], coverer: RegionCoverer | None = None
+) -> tuple[DataFrame, DataFrame]:
+    coverer = coverer or RegionCoverer(max_cells=8)
+    reg_rows, cov_rows = [], []
+    for r in rects:
+        rect = Rect.from_degrees(r.lat_lo, r.lng_lo, r.lat_hi, r.lng_hi)
+        reg_rows.append((r.region_id, r.lat_lo, r.lng_lo, r.lat_hi, r.lng_hi))
+        cov_rows.extend(_covering_rows(r.region_id, rect, coverer))
+    regions = spark.createDataFrame(
+        reg_rows,
+        "region_id string, lat_lo double, lng_lo double, lat_hi double, lng_hi double",
+    )
+    coverings = spark.createDataFrame(cov_rows, _COVER_SCHEMA)
+    return regions, coverings
+
+
+# ---------------------------------------------------------------------------
+# Coarse stage: covering join
+# ---------------------------------------------------------------------------
+
+
+def covering_join(
+    docs: DataFrame,
+    coverings: DataFrame,
+    cell_col: str = "cell_id",
+    broadcast_regions: bool = True,
+    salt: int | None = None,
+    salt_col: str = "doc_id",
+) -> DataFrame:
+    """Join docs (leaf cellid) with exploded covering cells.
+
+    Per-level equi-join: for each distinct cover level L in the covering set,
+    join on ``parent(doc_leaf, L) == cover_cell``; union the branches. Each
+    branch is a plain equi-join -> broadcast hash join when the region side is
+    small, with the bit-op parent evaluated in whole-stage codegen.
+
+    ``salt``: explode region side x salt and key docs by a deterministic hash
+    bucket, splitting hot covering cells across reducers (north_rule skew
+    handling). Only useful on the shuffle path; broadcast joins don't need it.
+    """
+    levels = [r[0] for r in coverings.select("cover_level").distinct().collect()]
+    if not levels:
+        raise ValueError("empty covering set")
+
+    branches = []
+    for lvl in sorted(levels):
+        cov = coverings.where(F.col("cover_level") == lvl)
+        if salt:
+            cov = cov.withColumn(
+                "_salt_r", F.explode(F.array([F.lit(i) for i in range(salt)]))
+            )
+        if broadcast_regions:
+            cov = F.broadcast(cov)
+        d = docs.withColumn("_join_cell", tiling.parent_col(cell_col, lvl))
+        if salt:
+            d = d.withColumn("_salt_d", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt)))
+            branch = d.join(
+                cov,
+                on=(F.col("_join_cell") == F.col("cover_cell"))
+                & (F.col("_salt_d") == F.col("_salt_r")),
+            ).drop("_salt_d", "_salt_r")
+        else:
+            branch = d.join(cov, on=F.col("_join_cell") == F.col("cover_cell"))
+        branches.append(branch.drop("_join_cell"))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def salted(df: DataFrame, key_col: str, n_salt: int, out: str = "salt") -> DataFrame:
+    """Deterministic salt bucket for hot-key mitigation."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)))
+
+
+# ---------------------------------------------------------------------------
+# Exact refine stage
+# ---------------------------------------------------------------------------
+
+
+def _cap_refine_udf():
+    @pandas_udf("boolean")
+    def _refine(
+        lat: pd.Series, lng: pd.Series, cx: pd.Series, cy: pd.Series, cz: pd.Series, r2: pd.Series
+    ) -> pd.Series:
+        # cap.rs:212-214: |c-p|^2 <= radius2 — one fused numpy expression.
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        px, py, pz = cl * np.cos(ln), cl * np.sin(ln), np.sin(la)
+        d2 = (
+            (px - cx.to_numpy(np.float64)) ** 2
+            + (py - cy.to_numpy(np.float64)) ** 2
+            + (pz - cz.to_numpy(np.float64)) ** 2
+        )
+        return pd.Series(d2 <= r2.to_numpy(np.float64))
+
+    return _refine
+
+
+def cap_join(
+    docs_tiled: DataFrame,
+    regions: DataFrame,
+    coverings: DataFrame,
+    cell_col: str = "cell_id",
+    broadcast_regions: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact cap-containment spatial join: covering prefilter + chord refine.
+
+    Output: one row per (region_id, doc) pair with the doc inside the cap.
+    Coverings may overlap across levels for one region -> dedupe on
+    (region_id, doc_id).
+    """
+    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt)
+    reg = F.broadcast(regions) if broadcast_regions else regions
+    joined = coarse.join(reg, on="region_id")
+    refined = joined.where(
+        _cap_refine_udf()(
+            F.col("lat"), F.col("lng"), F.col("cx"), F.col("cy"), F.col("cz"), F.col("radius2")
+        )
+    )
+    keep = [c for c in docs_tiled.columns] + ["region_id"]
+    return refined.select(*keep).dropDuplicates(["region_id", "doc_id"])
+
+
+def rect_join(
+    docs_tiled: DataFrame,
+    regions: DataFrame,
+    coverings: DataFrame,
+    cell_col: str = "cell_id",
+    broadcast_regions: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """Exact lat/lng-rect containment join (rect.rs:693-707 semantics).
+
+    Refine is pure Column math (interval tests with dateline wrap) — no UDF.
+    """
+    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt)
+    reg = F.broadcast(regions) if broadcast_regions else regions
+    joined = coarse.join(reg, on="region_id")
+    lat_ok = (F.col("lat") >= F.col("lat_lo")) & (F.col("lat") <= F.col("lat_hi"))
+    # lng interval may be inverted (crosses the antimeridian, s1/interval.rs:36-50)
+    not_inv = F.col("lng_lo") <= F.col("lng_hi")
+    lng_ok = F.when(
+        not_inv, (F.col("lng") >= F.col("lng_lo")) & (F.col("lng") <= F.col("lng_hi"))
+    ).otherwise((F.col("lng") >= F.col("lng_lo")) | (F.col("lng") <= F.col("lng_hi")))
+    refined = joined.where(lat_ok & lng_ok)
+    keep = [c for c in docs_tiled.columns] + ["region_id"]
+    return refined.select(*keep).dropDuplicates(["region_id", "doc_id"])

