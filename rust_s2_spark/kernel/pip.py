@@ -501,9 +501,10 @@ class Loop:
         for i in range(len(self.vertices) + 1):
             bounder.add_point(self.vertex(i))
         b = bounder.get_bound()
-        if self.contains_point(np.array([0.0, 0.0, 1.0])):
+        # Pole containment via brute force (bound not yet available, loop.rs:340-350).
+        if self.brute_force_contains_point(np.array([0.0, 0.0, 1.0])):
             b = Rect(RInterval(b.lat.lo, PI / 2), SInterval.full())
-        if b.lng.is_full and self.contains_point(np.array([0.0, 0.0, -1.0])):
+        if b.lng.is_full and self.brute_force_contains_point(np.array([0.0, 0.0, -1.0])):
             b = Rect(RInterval(-PI / 2, b.lat.hi), b.lng)
         self.bound = b
         self.subregion_bound = expand_for_subregions(b)
@@ -566,21 +567,17 @@ class Loop:
         parity = np.bitwise_xor.reduce(np.where(certain, crossing, False), axis=0)
         inside = parity ^ self.origin_inside
 
-        # Rows with any uncertain edge fall back to the exact scalar chain.
+        # Rows where every det is decisive have an exact parity, and by the
+        # RectBounder guarantee (rect_bounder.rs:50-59) any genuinely-contained
+        # point also passes the bound prefilter — so no bound check is needed
+        # on the fast path.  Rows with any uncertain det fall back to the full
+        # scalar contains_point (bound prefilter + robust crossing chain,
+        # loop.rs:408-445), keeping vec ≡ scalar bit-for-bit.
         bad = ~certain.all(axis=0)
         if np.any(bad):
             for j in np.nonzero(bad)[0]:
-                inside[j] = self.brute_force_contains_point(P[j])
-
-        # Bound prefilter (loop.rs:409) applied last for exact parity with
-        # contains_point (it can only turn hits into misses for points the
-        # bound excludes).
-        lat = np.arctan2(P[:, 2], np.hypot(P[:, 0], P[:, 1]))
-        lng = np.arctan2(P[:, 1], P[:, 0])
-        in_bound = np.array(
-            [self.bound.contains_latlng_rad(lat[j], lng[j]) for j in range(m)]
-        )
-        return inside & in_bound
+                inside[j] = self.contains_point(P[j])
+        return inside
 
     # -- area / curvature (loop.rs:1833-1980) --
 
