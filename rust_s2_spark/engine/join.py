@@ -137,6 +137,7 @@ def covering_join(
     broadcast_regions: bool = True,
     salt: int | None = None,
     salt_col: str = "doc_id",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Join docs (leaf cellid) with exploded covering cells.
 
@@ -164,7 +165,9 @@ def covering_join(
             cov = F.broadcast(cov)
         d = docs.withColumn("_join_cell", tiling.parent_col(cell_col, lvl))
         if salt:
-            d = d.withColumn("_salt_d", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt)))
+            d = d.withColumn(
+                "_salt_d", F.pmod(F.xxhash64(F.col(id_col or salt_col)), F.lit(salt))
+            )
             branch = d.join(
                 cov,
                 on=(F.col("_join_cell") == F.col("cover_cell"))
@@ -217,14 +220,15 @@ def cap_join(
     cell_col: str = "cell_id",
     broadcast_regions: bool = True,
     salt: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact cap-containment spatial join: covering prefilter + chord refine.
 
     Output: one row per (region_id, doc) pair with the doc inside the cap.
     Coverings may overlap across levels for one region -> dedupe on
-    (region_id, doc_id).
+    (region_id, id_col).
     """
-    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt)
+    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
     reg = F.broadcast(regions) if broadcast_regions else regions
     joined = coarse.join(reg, on="region_id")
     refined = joined.where(
@@ -233,7 +237,7 @@ def cap_join(
         )
     )
     keep = [c for c in docs_tiled.columns] + ["region_id"]
-    return refined.select(*keep).dropDuplicates(["region_id", "doc_id"])
+    return refined.select(*keep).dropDuplicates(["region_id", id_col])
 
 
 def rect_join(
@@ -243,12 +247,13 @@ def rect_join(
     cell_col: str = "cell_id",
     broadcast_regions: bool = True,
     salt: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact lat/lng-rect containment join (rect.rs:693-707 semantics).
 
     Refine is pure Column math (interval tests with dateline wrap) — no UDF.
     """
-    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt)
+    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
     reg = F.broadcast(regions) if broadcast_regions else regions
     joined = coarse.join(reg, on="region_id")
     lat_ok = (F.col("lat") >= F.col("lat_lo")) & (F.col("lat") <= F.col("lat_hi"))
@@ -259,4 +264,4 @@ def rect_join(
     ).otherwise((F.col("lng") >= F.col("lng_lo")) | (F.col("lng") <= F.col("lng_hi")))
     refined = joined.where(lat_ok & lng_ok)
     keep = [c for c in docs_tiled.columns] + ["region_id"]
-    return refined.select(*keep).dropDuplicates(["region_id", "doc_id"])
+    return refined.select(*keep).dropDuplicates(["region_id", id_col])

@@ -1,0 +1,566 @@
+"""DuckDB oracle SQL for every oracle-able driver query.
+
+Each oracle is an *independent formulation* of the same semantics:
+- the Hilbert cellid encode is re-derived as a recursive CTE over the
+  4x4 base orientation tables (2 bits/level x 30 levels), vs the kernel's
+  1024-entry 4-bit lookup batching (cellid.rs:135-154 vs 916-994);
+- hierarchy ops are recomputed arithmetically from construction parameters,
+  vs the engine's pure bit-twiddling on the id;
+- spatial joins are brute-force cross products with the exact predicate,
+  vs the engine's covering-prefilter + refine plan;
+- convex PIP uses edge-sign half-space tests, vs the engine's
+  crossing-number parity kernel.
+
+Tables are pre-registered DuckDB views: region nation customer supplier part
+orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from ..kernel.hilbert import IJ_TO_POS
+from . import specs
+from .queries import polygon_edge_crosses
+
+POW61 = 2305843009213693952  # 2^61
+POW63 = "9223372036854775808::HUGEINT"
+POW64 = "18446744073709551616::HUGEINT"
+
+
+# ---------------------------------------------------------------------------
+# Shared fragments
+# ---------------------------------------------------------------------------
+
+
+def _latlng_cte(table: str = "events", id_col: str = "event_id") -> str:
+    lat, lng = specs.latlng_sql(id_col)
+    return f"SELECT {id_col}, {lat} AS lat, {lng} AS lng FROM {table}"
+
+
+_XYZ = (
+    "SELECT {id}, cos(radians(lat)) * cos(radians(lng)) AS x, "
+    "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM {src}"
+)
+
+
+def _hilbert_ctes(id_col: str) -> str:
+    """CTE chain: pts(id, lat, lng) -> leaf(id, face, pos, cell_id).
+
+    latlng -> xyz -> (face,u,v) -> (s,t) -> (i,j) -> 30-step Hilbert walk.
+    """
+    pk_cases = " ".join(
+        f"WHEN {bits * 4 + ij} THEN {int(IJ_TO_POS[bits][ij])}"
+        for bits in range(4)
+        for ij in range(4)
+    )
+    pk_case = f"CASE (bits * 4 + ij2) {pk_cases} END"
+    new_bits = "CASE pk WHEN 0 THEN xor(bits, 1) WHEN 3 THEN xor(bits, 3) ELSE bits END"
+    xyz = _XYZ.format(id=id_col, src="pts")
+    return f"""
+xyz AS ({xyz}),
+fsel AS (
+  SELECT {id_col}, x, y, z,
+    CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0
+  FROM xyz
+),
+fc AS (
+  SELECT {id_col}, x, y, z,
+    CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN f0 + 3 ELSE f0 END AS face
+  FROM fsel
+),
+fuv AS (
+  SELECT {id_col}, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc
+),
+stq AS (
+  SELECT {id_col}, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+  FROM fuv
+),
+ij AS (
+  SELECT {id_col}, face,
+    least(greatest(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
+    least(greatest(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j
+  FROM stq
+),
+steps({id_col}, face, i, j, k, bits, pos) AS (
+  SELECT {id_col}, face, i, j, 29, face % 2, CAST(0 AS BIGINT) FROM ij
+  UNION ALL
+  SELECT {id_col}, face, i, j, k - 1, {new_bits}, pos * 4 + pk
+  FROM (
+    SELECT {id_col}, face, i, j, k, bits, pos, {pk_case} AS pk
+    FROM (
+      SELECT *, (((i >> k) & 1) * 2 + ((j >> k) & 1)) AS ij2 FROM steps WHERE k >= 0
+    ) t1
+  ) t2
+),
+leaf AS (
+  SELECT {id_col}, face, pos,
+    CAST(CASE WHEN hu >= {POW63} THEN hu - {POW64} ELSE hu END AS BIGINT) AS cell_id
+  FROM (
+    SELECT {id_col}, face, pos,
+      CAST(face AS HUGEINT) * {POW61}::HUGEINT + CAST(pos AS HUGEINT) * 2 + 1 AS hu
+    FROM steps WHERE k = -1
+  ) t3
+)
+"""
+
+
+def _parent_from_pos(level: int, face: str = "face", pos: str = "pos") -> str:
+    """Signed cell id of the ancestor at ``level`` from (face, leaf pos)."""
+    lsb = 1 << (2 * (30 - level))
+    p61 = f"(CAST({pos} AS BIGINT) * 2 + 1)"
+    cellpos = f"({p61} - ({p61} % {2 * lsb}) + {lsb})"
+    sface = f"({face} - (CASE WHEN {face} >= 4 THEN 8 ELSE 0 END))"
+    return f"({sface} * {POW61} + {cellpos})"
+
+
+def o_tile_assign() -> str:
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")}
+SELECT event_id, cell_id, {_parent_from_pos(10)} AS cell_l10 FROM leaf
+"""
+
+
+def _derived_cell_duck() -> str:
+    x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    lvl = "(event_id % 31)"
+    pos60 = f"(({x1} % 1073741824) * 1073741824 + ({x2} % 1073741824))"
+    pos61 = f"({pos60} * 2 + 1)"
+    lsbv = f"(1::BIGINT << CAST(2 * (30 - {lvl}) AS INT))"
+    cellpos = f"({pos61} - ({pos61} % (2 * {lsbv})) + {lsbv})"
+    sface = "((event_id % 6) - (CASE WHEN (event_id % 6) >= 4 THEN 8 ELSE 0 END))"
+    return f"({sface} * {POW61} + {cellpos})"
+
+
+def o_cell_hierarchy() -> str:
+    x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    pos60 = f"(({x1} % 1073741824) * 1073741824 + ({x2} % 1073741824))"
+    pos61 = f"({pos60} * 2 + 1)"
+    lvl = "(event_id % 31)"
+    plvl = f"({lvl} // 2)"
+    lsbv = f"(1::BIGINT << CAST(2 * (30 - {lvl}) AS INT))"
+    plsb = f"(1::BIGINT << CAST(2 * (30 - {plvl}) AS INT))"
+    sface = "((event_id % 6) - (CASE WHEN (event_id % 6) >= 4 THEN 8 ELSE 0 END))"
+    cellpos = f"({pos61} - ({pos61} % (2 * {lsbv})) + {lsbv})"
+    ppos = f"({pos61} - ({pos61} % (2 * {plsb})) + {plsb})"
+    return f"""
+SELECT event_id,
+  ({sface} * {POW61} + {cellpos}) AS cell_id,
+  {lvl} AS lvl,
+  (event_id % 6) AS face,
+  ({lvl} = 30) AS is_leaf,
+  ({sface} * {POW61} + {cellpos}) - ({lsbv} - 1) AS rmin,
+  ({sface} * {POW61} + {cellpos}) + ({lsbv} - 1) AS rmax,
+  ({sface} * {POW61} + {ppos}) AS parent_id,
+  rtrim(printf('%016x', {sface} * {POW61} + {cellpos}), '0') AS token
+FROM events
+"""
+
+
+def o_cap_join() -> str:
+    vals = ", ".join(
+        f"('{rid}', {specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
+        for rid, cx, cy, cz, r2 in specs.cap_rows()
+    )
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+caps(region_id, cx, cy, cz, r2) AS (VALUES {vals})
+SELECT c.region_id, p.event_id
+FROM p, caps c
+WHERE (x - cx) * (x - cx) + (y - cy) * (y - cy) + (z - cz) * (z - cz) <= r2
+"""
+
+
+def o_rect_join() -> str:
+    vals = ", ".join(
+        f"('{rid}', {specs.f(a)}, {specs.f(b)}, {specs.f(c)}, {specs.f(d)})"
+        for rid, a, b, c, d in specs.RECTS
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+rects(region_id, lat_lo, lng_lo, lat_hi, lng_hi) AS (VALUES {vals})
+SELECT r.region_id, p.event_id
+FROM pts p, rects r
+WHERE p.lat >= r.lat_lo AND p.lat <= r.lat_hi
+  AND (CASE WHEN r.lng_lo <= r.lng_hi
+            THEN p.lng >= r.lng_lo AND p.lng <= r.lng_hi
+            ELSE p.lng >= r.lng_lo OR p.lng <= r.lng_hi END)
+"""
+
+
+def o_pip_join() -> str:
+    xyz = _XYZ.format(id="event_id", src="pts")
+    branches = []
+    for rid, crosses in polygon_edge_crosses().items():
+        dets = [
+            f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+            for cx, cy, cz in crosses
+        ]
+        inside = " AND ".join(f"{d} > 0" for d in dets)
+        margin = " AND ".join(f"abs({d}) > {specs.f(specs.PIP_MARGIN)}" for d in dets)
+        branches.append(
+            f"SELECT '{rid}' AS region_id, event_id FROM p WHERE ({inside}) AND ({margin})"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"WITH pts AS ({_latlng_cte()}),\np AS ({xyz})\n{body}"
+
+
+def o_knn() -> str:
+    import math
+
+    rows = []
+    for qid, lat, lng in specs.KNN_QUERIES:
+        la, ln = math.radians(lat), math.radians(lng)
+        rows.append(
+            f"('{qid}', {specs.f(math.cos(la) * math.cos(ln))}, "
+            f"{specs.f(math.cos(la) * math.sin(ln))}, {specs.f(math.sin(la))})"
+        )
+    vals = ", ".join(rows)
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+q(query_id, qx, qy, qz) AS (VALUES {vals}),
+d AS (
+  SELECT query_id, event_id,
+    (x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz) AS d2
+  FROM p, q
+)
+SELECT query_id, event_id, rank, round(d2, 6) AS d2_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, event_id ASC) AS rank FROM d) t
+WHERE rank <= {specs.KNN_K}
+"""
+
+
+def o_covering_set_ops() -> str:
+    x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    pos60 = f"(({x1} % 1073741824) * 1073741824 + ({x2} % 1073741824))"
+    pos61 = f"({pos60} * 2 + 1)"
+    lsbv = 1 << (2 * (30 - 12))
+    cellpos = f"({pos61} - ({pos61} % {2 * lsbv}) + {lsbv})"
+    sface = "((event_id % 6) - (CASE WHEN (event_id % 6) >= 4 THEN 8 ELSE 0 END))"
+    cell = f"({sface} * {POW61} + {cellpos})"
+    return f"""
+WITH cells AS (SELECT event_id, {cell} AS cell12 FROM events),
+a AS (SELECT DISTINCT cell12 FROM cells WHERE event_id % 2 = 0),
+b AS (SELECT DISTINCT cell12 FROM cells WHERE event_id % 3 = 0)
+SELECT cell12 AS cell_id, 'both' AS tag FROM (SELECT cell12 FROM a INTERSECT SELECT cell12 FROM b) t1
+UNION ALL
+SELECT cell12 AS cell_id, 'a_only' AS tag FROM (SELECT cell12 FROM a EXCEPT SELECT cell12 FROM b) t2
+UNION ALL
+SELECT cell12 AS cell_id, 'b_only' AS tag FROM (SELECT cell12 FROM b EXCEPT SELECT cell12 FROM a) t3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text pipeline
+# ---------------------------------------------------------------------------
+
+
+def o_dedup_exact() -> str:
+    return (
+        "SELECT md5(lower(text)) AS h, count(*) AS cnt, min(doc_id) AS rep_doc "
+        "FROM documents GROUP BY 1"
+    )
+
+
+def o_text_stats() -> str:
+    nt = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  {nt} AS n_tokens,
+  length(text) - length(translate(text, '{specs.VOWELS}', '')) AS n_vowels,
+  length(text) - length(translate(text, '{specs.PUNCT_CHARS}', '')) AS n_punct,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST({nt} AS DOUBLE), 6) AS avg_wlen
+FROM documents
+"""
+
+
+def _lang_count_duck(marker: str) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    pat = f"' {marker} '"
+    return f"((length({padded}) - length(replace({padded}, {pat}, ''))) // {len(marker) + 2})"
+
+
+def o_lang_id() -> str:
+    names = [(lg, f"cnt_{lg}") for lg, _ in specs.LANG_MARKERS]
+    cols = []
+    for lg, markers in specs.LANG_MARKERS:
+        cols.append("(" + " + ".join(_lang_count_duck(m) for m in markers) + f") AS cnt_{lg}")
+    whens = []
+    for i, (lg, cn) in enumerate(names):
+        conds = [f"{cn} >= {cn2}" for _, cn2 in names[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        whens.append(f"WHEN {cond} THEN '{lg}'")
+    pred = "CASE " + " ".join(whens) + f" ELSE '{names[-1][0]}' END"
+    return f"""
+WITH c AS (SELECT doc_id, lang, {", ".join(cols)} FROM documents)
+SELECT doc_id, lang, cnt_en, cnt_de, cnt_es, cnt_fr, {pred} AS predicted,
+  ({pred} = lang) AS is_match
+FROM c
+"""
+
+
+_CHAR_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_filter(split({col}, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, c) -> (acc * {specs.FP_MULT} + c) % {specs.FP_MOD})"
+)
+
+
+def o_fingerprint() -> str:
+    return f"SELECT doc_id, {_CHAR_FOLD.format(col='text')} AS fp FROM documents"
+
+
+def o_ngram_jaccard() -> str:
+    return """
+WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, inter,
+    CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac
+  FROM inter
+  JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
+)
+SELECT doc_a, doc_b, inter, round(jac, 6) AS jaccard_r FROM j WHERE jac >= 0.04
+"""
+
+
+def o_simhash() -> str:
+    fold = _CHAR_FOLD.format(col="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM documents, UNNEST(split(text, ' ')) AS u(tok)
+  WHERE tok <> ''
+),
+th AS (SELECT doc_id, {fold} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1)
+SELECT doc_id, {terms} AS simhash FROM votes
+"""
+
+
+def o_ann_cosine() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+d AS (
+  SELECT query_id, vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+      (acc, v) -> acc + v) AS dot,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(ce)), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))),
+      (acc, v) -> acc + v) AS nc,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+      (acc, v) -> acc + v) AS nq
+  FROM c, q WHERE vec_id <> query_id
+),
+s AS (SELECT query_id, vec_id, dot / (sqrt(nc) * sqrt(nq)) AS sim FROM d)
+SELECT query_id, vec_id, rank, round(sim, 6) AS sim_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interleaved spans + multimodal
+# ---------------------------------------------------------------------------
+
+
+def _spans_duck() -> str:
+    A, C, M = specs.LCG_A, specs.LCG_C, specs.LCG_M
+    x1 = f"((doc_id * {A} + {C}) % {M})"
+    x2 = f"(({x1} * {A} + {C}) % {M})"
+    geo = f"CAST({x1} % 170001 AS VARCHAR) || ':' || CAST({x2} % 360000 AS VARCHAR)"
+    full = (
+        "["
+        "{'kind': 'text', 'text': text, 'media_ref': CAST(NULL AS VARCHAR), 'off': 0}, "
+        f"{{'kind': 'geo', 'text': {geo}, 'media_ref': CAST(NULL AS VARCHAR), 'off': 1}}, "
+        "{'kind': 'media', 'text': CAST(NULL AS VARCHAR), "
+        "'media_ref': 'media://blob/' || CAST(doc_id AS VARCHAR), 'off': 2}"
+        "]"
+    )
+    return (
+        f"SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN {full} ELSE ({full})[1:2] END AS spans "
+        "FROM documents"
+    )
+
+
+def o_span_pipeline() -> str:
+    sig = (
+        "md5(list_reduce(list_prepend('', list_transform(spans, "
+        "s -> s.kind || coalesce(s.text, ' ') || coalesce(s.media_ref, ' ') "
+        "|| CAST(s.off AS VARCHAR))), (a, b) -> a || b))"
+    )
+    return f"""
+WITH sp AS ({_spans_duck()})
+SELECT doc_id, len(spans) AS n_spans,
+  array_to_string(list_transform(spans, s -> s.kind), ',') AS kinds,
+  {sig} AS span_sig
+FROM sp
+"""
+
+
+def o_geo_extract() -> str:
+    A, C, M = specs.LCG_A, specs.LCG_C, specs.LCG_M
+    x1 = f"((doc_id * {A} + {C}) % {M})"
+    x2 = f"(({x1} * {A} + {C}) % {M})"
+    lat = f"(CAST({x1} % 170001 AS BIGINT) / 1000.0 - 85.0)"
+    lng = f"(CAST({x2} % 360000 AS BIGINT) / 1000.0 - 180.0)"
+    return f"""
+WITH RECURSIVE pts AS (SELECT doc_id, {lat} AS lat, {lng} AS lng FROM documents),
+{_hilbert_ctes("doc_id")}
+SELECT l.doc_id, p.lat, p.lng, {_parent_from_pos(8)} AS cell_l8
+FROM leaf l JOIN pts p ON l.doc_id = p.doc_id
+"""
+
+
+def o_media_features() -> str:
+    return """
+SELECT doc_id, 'media://blob/' || CAST(doc_id AS VARCHAR) AS media_ref,
+  (doc_id * 37) % 1920 AS width,
+  (doc_id * 53) % 1080 AS height,
+  doc_id % 120 AS n_frames,
+  CAST((doc_id * 7919) % 256 AS DOUBLE) / 255.0 AS brightness
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational
+# ---------------------------------------------------------------------------
+
+
+def o_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) *
+           (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def o_revenue_by_nation() -> str:
+    return """
+SELECT n_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def o_top_orders() -> str:
+    return """
+SELECT o_custkey, o_orderkey, rank, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) t WHERE rank <= 3
+"""
+
+
+def o_events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def o_sessionize() -> str:
+    return """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lts
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lts IS NULL OR date_diff('second', lts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+c AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM s
+)
+SELECT user_id, sess_no, count(*) AS n_events,
+  min(event_id) AS first_event, max(event_id) AS last_event
+FROM c GROUP BY 1, 2
+"""
+
+
+ORACLES = {
+    "s2_tile_assign": o_tile_assign,
+    "s2_cell_hierarchy": o_cell_hierarchy,
+    "s2_cap_join": o_cap_join,
+    "s2_rect_join": o_rect_join,
+    "s2_pip_join": o_pip_join,
+    "s2_knn": o_knn,
+    "s2_covering_set_ops": o_covering_set_ops,
+    "dedup_exact": o_dedup_exact,
+    "text_stats": o_text_stats,
+    "lang_id": o_lang_id,
+    "fingerprint": o_fingerprint,
+    "ngram_jaccard": o_ngram_jaccard,
+    "simhash": o_simhash,
+    "ann_cosine": o_ann_cosine,
+    "span_pipeline": o_span_pipeline,
+    "geo_extract": o_geo_extract,
+    "media_features": o_media_features,
+    "pricing_summary": o_pricing_summary,
+    "revenue_by_nation": o_revenue_by_nation,
+    "top_orders": o_top_orders,
+    "events_hourly": o_events_hourly,
+    "sessionize": o_sessionize,
+}
+# "minhash_lsh" is intentionally absent: LSH banding is approximate by design
+# (rows-only check); its exact counterpart is ngram_jaccard.
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: fn() for name, fn in ORACLES.items()}

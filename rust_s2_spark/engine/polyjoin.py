@@ -1,0 +1,112 @@
+"""Polygon spatial join: loop coverings + broadcast vectorized PIP refine.
+
+The cluster-scale shape of Loop::contains_point (loop.rs:408-445): the
+reference prunes candidate points with a per-loop ShapeIndex; here the pruning
+is the covering join itself (docs shuffled/bucketed by cell, loop coverings
+exploded), and the exact refine is the origin-anchored crossing-number kernel
+(kernel/pip.py Loop.contains_points) run vectorized over Arrow batches with
+the loop vertex arrays broadcast to executors.
+
+Scale notes:
+- Loop vertex arrays are broadcast once per job (regions are few and small);
+  Loop objects are rebuilt lazily per executor process and memoized, so the
+  origin_inside/bound precompute (loop.rs:273-378) runs once per executor,
+  not per batch.
+- The coarse stage is the same per-level equi-join as cap/rect joins — a
+  broadcast hash join on a bit-op parent column, no BNLJ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernel import hierarchy as h
+from ..kernel.covering import RegionCoverer
+from ..kernel.pip import Loop
+from .join import covering_join
+
+__all__ = ["loop_regions", "loop_join"]
+
+_COVER_SCHEMA = (
+    "region_id string, cover_cell long, cover_level int, range_min long, range_max long"
+)
+
+
+def loop_regions(
+    spark: SparkSession,
+    polygons: list[tuple[str, list[tuple[float, float, float]]]],
+    coverer: RegionCoverer | None = None,
+) -> tuple[dict[str, np.ndarray], DataFrame]:
+    """polygons: (region_id, [(x,y,z) unit vertices CCW]).
+
+    Returns (vertex map for broadcast, exploded covering DataFrame).
+    """
+    coverer = coverer or RegionCoverer(max_cells=12)
+    verts: dict[str, np.ndarray] = {}
+    cov_rows = []
+    for rid, ring in polygons:
+        v = np.asarray(ring, dtype=np.float64)
+        verts[rid] = v
+        loop = Loop(v)
+        for cid in coverer.covering(loop).ids:
+            u = np.uint64(cid)
+            cov_rows.append(
+                (
+                    rid,
+                    int(np.int64(u)),
+                    int(h.level(u)),
+                    int(np.int64(h.range_min(u))),
+                    int(np.int64(h.range_max(u))),
+                )
+            )
+    return verts, spark.createDataFrame(cov_rows, _COVER_SCHEMA)
+
+
+# Per-executor memo of constructed Loop objects (origin_inside/bound prep).
+_LOOP_CACHE: dict[int, dict[str, Loop]] = {}
+
+
+def _pip_refine_udf(spark: SparkSession, verts: dict[str, np.ndarray]):
+    bc = spark.sparkContext.broadcast({k: v.copy() for k, v in verts.items()})
+    key = id(bc)
+
+    @pandas_udf("boolean")
+    def _refine(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        cache = _LOOP_CACHE.setdefault(key, {})
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        px, py, pz = cl * np.cos(ln), cl * np.sin(ln), np.sin(la)
+        out = np.zeros(len(lat), dtype=bool)
+        rids = region_id.to_numpy()
+        for rid in pd.unique(rids):
+            if rid not in cache:
+                cache[rid] = Loop(bc.value[rid])
+            m = rids == rid
+            out[m] = cache[rid].contains_points(px[m], py[m], pz[m])
+        return pd.Series(out)
+
+    return _refine
+
+
+def loop_join(
+    spark: SparkSession,
+    docs_tiled: DataFrame,
+    verts: dict[str, np.ndarray],
+    coverings: DataFrame,
+    cell_col: str = "cell_id",
+    broadcast_regions: bool = True,
+    salt: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact polygon-containment join: covering prefilter + crossing-number PIP."""
+    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
+    refined = coarse.where(
+        _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
+    )
+    keep = [c for c in docs_tiled.columns] + ["region_id"]
+    return refined.select(*keep).dropDuplicates(["region_id", id_col])

@@ -1,0 +1,723 @@
+"""Driver-contract queries: each takes (spark, sf_dir) and returns a DataFrame.
+
+Every query here has a matching DuckDB oracle in ``oracles.py`` (or is
+explicitly rows-only for approximate operators).  Column names are aliased
+identically on both sides; shared literals come from ``specs.py``.
+
+Scale discipline (the point of each query, beyond correctness):
+- geometry runs in vectorized pandas UDFs or pure Column bit math;
+- joins are broadcast where one side is small, exploded-covering equi-joins
+  for the spatial path (never BNLJ range joins);
+- money aggregations are decimal-exact, then cast to double once at the edge;
+- no collect()-driven loops anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..kernel.covering import RegionCoverer
+from ..kernel.region import Cap, Rect
+from . import specs, tiling
+from .join import cap_join, rect_join, covering_join
+from .polyjoin import loop_join, loop_regions
+from ..kernel import hierarchy as h
+
+# ---------------------------------------------------------------------------
+# Shared inputs
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + deterministic derived (lat, lng) + leaf cellid."""
+    lat_sql, lng_sql = specs.latlng_sql("event_id")
+    df = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(lat_sql).alias("lat"), F.expr(lng_sql).alias("lng")
+    )
+    return tiling.with_leaf_cellid(df)
+
+
+# ---------------------------------------------------------------------------
+# S2 geometry queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf CellID + level-10 tile per event (Hilbert encode kernel §3.1)."""
+    df = events_geo(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.col("cell_id").alias("cell_id"),
+        tiling.parent_col("cell_id", 10).alias("cell_l10"),
+    )
+
+
+_POW61 = 2305843009213693952  # 2^61
+
+
+def _derived_cell_sql() -> str:
+    """Spark-SQL expression deriving a valid random cellid from event_id.
+
+    Level = event_id%31, face = event_id%6, position bits from two LCG steps.
+    Pure integer arithmetic — the oracle derives the identical id.
+    """
+    x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    lvl = "(event_id % 31)"
+    pos60 = f"(({x1} % 1073741824) * 1073741824 + ({x2} % 1073741824))"
+    pos61 = f"({pos60} * 2 + 1)"
+    lsbv = f"shiftleft(CAST(1 AS BIGINT), CAST(2 * (30 - {lvl}) AS INT))"
+    cellpos = f"({pos61} - ({pos61} % (2 * {lsbv})) + {lsbv})"
+    sface = "((event_id % 6) - (CASE WHEN (event_id % 6) >= 4 THEN 8 ELSE 0 END))"
+    return f"({sface} * {_POW61} + {cellpos})"
+
+
+def q_cell_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellID hierarchy ops as pure bit columns (cellid.rs:245-299, 442-459).
+
+    The engine side computes level/parent/range from the id alone (bit math);
+    the oracle recomputes them arithmetically from the construction params —
+    independent formulations that must agree.
+    """
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    df = ev.withColumn("cell_id", F.expr(_derived_cell_sql()))
+    plvl = F.expr("CAST((event_id % 31) AS INT) div 2").cast("int")
+    return df.select(
+        "event_id",
+        "cell_id",
+        tiling.level_col("cell_id").alias("lvl"),
+        tiling.face_col("cell_id").alias("face"),
+        (tiling.level_col("cell_id") == F.lit(30)).alias("is_leaf"),
+        tiling.range_min_col("cell_id").alias("rmin"),
+        tiling.range_max_col("cell_id").alias("rmax"),
+        tiling.parent_var_col("cell_id", plvl).alias("parent_id"),
+        tiling.cellid_to_token_udf()(F.col("cell_id")).alias("token"),
+    )
+
+
+def _cap_setup(spark: SparkSession):
+    rows = specs.cap_rows()
+    regions = spark.createDataFrame(
+        rows, "region_id string, cx double, cy double, cz double, radius2 double"
+    )
+    coverer = RegionCoverer(max_cells=12)
+    cov_rows = []
+    for rid, cx, cy, cz, r2 in rows:
+        cap = Cap(np.array([cx, cy, cz]), r2)
+        for cid in coverer.covering(cap).ids:
+            u = np.uint64(cid)
+            cov_rows.append(
+                (rid, int(np.int64(u)), int(h.level(u)), int(np.int64(h.range_min(u))), int(np.int64(h.range_max(u))))
+            )
+    coverings = spark.createDataFrame(
+        cov_rows,
+        "region_id string, cover_cell long, cover_level int, range_min long, range_max long",
+    )
+    return regions, coverings
+
+
+def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-containment spatial join: covering prefilter + exact chord refine.
+
+    The oracle brute-forces the chord predicate over the full cross product;
+    equality proves the covering prefilter loses/invents no rows.
+    """
+    docs = events_geo(spark, sf_dir)
+    regions, coverings = _cap_setup(spark)
+    out = cap_join(docs, regions, coverings, id_col="event_id")
+    return out.select("region_id", "event_id")
+
+
+def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lat/lng-rect containment join incl. an antimeridian-crossing rect."""
+    docs = events_geo(spark, sf_dir)
+    reg_rows = list(specs.RECTS)
+    regions = spark.createDataFrame(
+        reg_rows,
+        "region_id string, lat_lo double, lng_lo double, lat_hi double, lng_hi double",
+    )
+    coverer = RegionCoverer(max_cells=12)
+    cov_rows = []
+    for rid, lat_lo, lng_lo, lat_hi, lng_hi in reg_rows:
+        rect = Rect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
+        for cid in coverer.covering(rect).ids:
+            u = np.uint64(cid)
+            cov_rows.append(
+                (rid, int(np.int64(u)), int(h.level(u)), int(np.int64(h.range_min(u))), int(np.int64(h.range_max(u))))
+            )
+    coverings = spark.createDataFrame(
+        cov_rows,
+        "region_id string, cover_cell long, cover_level int, range_min long, range_max long",
+    )
+    out = rect_join(docs, regions, coverings, id_col="event_id")
+    return out.select("region_id", "event_id")
+
+
+def polygon_edge_crosses() -> dict[str, list[tuple[float, float, float]]]:
+    """Per-polygon edge-plane normals cross(v_k, v_{k+1}) as exact literals."""
+    out = {}
+    for rid, ring in specs.POLYGONS:
+        verts = specs.polygon_vertices_xyz(ring)
+        crosses = []
+        n = len(verts)
+        for k in range(n):
+            a, b = verts[k], verts[(k + 1) % n]
+            crosses.append(
+                (
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                )
+            )
+        out[rid] = crosses
+    return out
+
+
+def _margin_pred(region_col: str = "region_id"):
+    """|det(cross_k, p)| > PIP_MARGIN for every edge — Column expr, JVM trig."""
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    pred = F.lit(False)
+    for rid, crosses in polygon_edge_crosses().items():
+        ok = F.lit(True)
+        for cx, cy, cz in crosses:
+            det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
+            ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+        pred = F.when(F.col(region_col) == rid, ok).otherwise(pred)
+    return pred
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join: covering prefilter + crossing-number PIP kernel.
+
+    Oracle uses an independent method (convex edge-sign tests); points within
+    PIP_MARGIN of any edge plane are excluded on both sides.
+    """
+    docs = events_geo(spark, sf_dir)
+    polys = [(rid, specs.polygon_vertices_xyz(ring)) for rid, ring in specs.POLYGONS]
+    verts, coverings = loop_regions(spark, polys)
+    coarse = covering_join(docs, coverings, id_col="event_id")
+    coarse = coarse.where(_margin_pred())
+    from .polyjoin import _pip_refine_udf
+
+    refined = coarse.where(
+        _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
+    )
+    return refined.select("region_id", "event_id").dropDuplicates(["region_id", "event_id"])
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest events per query point by squared chord distance.
+
+    Baseline: broadcast queries x events + window top-k (point.rs:424-429
+    distance).  The cell-ring variant must return identical rows.
+    """
+    docs = events_geo(spark, sf_dir)
+    q_rows = []
+    for qid, lat, lng in specs.KNN_QUERIES:
+        la, ln = math.radians(lat), math.radians(lng)
+        q_rows.append((qid, math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la)))
+    queries = spark.createDataFrame(q_rows, "query_id string, qx double, qy double, qz double")
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    d2 = (px - F.col("qx")) ** 2 + (py - F.col("qy")) ** 2 + (pz - F.col("qz")) ** 2
+    joined = docs.crossJoin(F.broadcast(queries)).withColumn("d2", d2)
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
+    ranked = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= specs.KNN_K)
+    return ranked.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
+
+
+def q_covering_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CellUnion set algebra via DataFrame set ops (fills cellunion.rs:932-938).
+
+    A = level-12 cells of even events, B = of events % 3 == 0; output the
+    union tagged by membership (intersect/except expressed as DF ops).
+    """
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    cell = F.expr(_derived_cell12_sql())
+    cells = ev.withColumn("cell12", cell)
+    a = cells.where(F.col("event_id") % 2 == 0).select("cell12").distinct()
+    b = cells.where(F.col("event_id") % 3 == 0).select("cell12").distinct()
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    a_only = a.exceptAll(b).withColumn("tag", F.lit("a_only"))
+    b_only = b.exceptAll(a).withColumn("tag", F.lit("b_only"))
+    return both.unionByName(a_only).unionByName(b_only).select(
+        F.col("cell12").alias("cell_id"), "tag"
+    )
+
+
+def _derived_cell12_sql() -> str:
+    """Valid level-12 cellid from event_id (arithmetic, oracle-reproducible)."""
+    x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    pos60 = f"(({x1} % 1073741824) * 1073741824 + ({x2} % 1073741824))"
+    pos61 = f"({pos60} * 2 + 1)"
+    lsbv = 1 << (2 * (30 - 12))
+    cellpos = f"({pos61} - ({pos61} % {2 * lsbv}) + {lsbv})"
+    sface = "((event_id % 6) - (CASE WHEN (event_id % 6) >= 4 THEN 8 ELSE 0 END))"
+    return f"({sface} * {_POW61} + {cellpos})"
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on normalized text (md5 key)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.col("text")).cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("rep_doc"))
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: token/vowel/punct counts via exact char math."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    # translate-based char-class counts: identical builtin in both engines.
+    vowels = F.length(text) - F.length(F.translate(text, specs.VOWELS, ""))
+    punct = F.length(text) - F.length(F.translate(text, specs.PUNCT_CHARS, ""))
+    avg_wlen = F.round(
+        (F.length(F.regexp_replace(text, " ", "")).cast("double")) / n_tokens.cast("double"), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        vowels.alias("n_vowels"),
+        punct.alias("n_punct"),
+        avg_wlen.alias("avg_wlen"),
+    )
+
+
+def _lang_count_expr(marker: str) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    pat = f"' {marker} '"
+    return f"((length({padded}) - length(replace({padded}, {pat}, ''))) div {len(marker) + 2})"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: padded-stopword counting + argmax CASE."""
+    docs = _read(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang"]
+    names = []
+    for lg, markers in specs.LANG_MARKERS:
+        expr = " + ".join(_lang_count_expr(m) for m in markers)
+        names.append((lg, f"cnt_{lg}"))
+        cols.append(F.expr(expr).alias(f"cnt_{lg}"))
+    df = docs.select(*cols)
+    # argmax with fixed precedence (first language wins ties)
+    pred = None
+    for i, (lg, cn) in enumerate(names):
+        cond = F.lit(True)
+        for lg2, cn2 in names[i + 1 :]:
+            cond = cond & (F.col(cn) >= F.col(cn2))
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    pred = pred.otherwise(F.lit(names[-1][0]))
+    return df.withColumn("predicted", pred).withColumn(
+        "is_match", F.col("predicted") == F.col("lang")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint, fold in Catalyst."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {specs.FP_MULT} + ascii(c)) % {specs.FP_MOD})"
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs via inverted-index join.
+
+    At scale the candidate generation is MinHash-LSH (q_minhash_lsh); this is
+    the exact verifier, oracle-checked brute force.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, on="gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= 0.04)
+    )
+    return j.select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+_TOKEN_HASH = f"(acc, c) -> (acc * {specs.FP_MULT} + ascii(c)) % {specs.FP_MOD}"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct word tokens (polynomial token hash)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    th = F.expr(
+        f"aggregate(filter(split(tok, ''), c -> c <> ''), CAST(0 AS BIGINT), {_TOKEN_HASH})"
+    )
+    toks = toks.withColumn("th", th)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (approximate; rows-only check).
+
+    128 permutations via affine hashes of the word-3gram polynomial hash;
+    16 bands x 8 rows; banded equi-join yields candidate pairs, then exact
+    MinHash similarity estimate.  Deterministic (fixed hash params).
+    """
+    docs = _read(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    gh = F.expr(
+        f"aggregate(filter(split(gram, ''), c -> c <> ''), CAST(0 AS BIGINT), {_TOKEN_HASH})"
+    )
+    grams = grams.withColumn("gh", gh)
+    n_perm, bands, rows_per = 128, 16, 8
+    mins = [
+        F.min((F.col("gh") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1)) % F.lit(specs.FP_MOD)).alias(
+            f"m{i}"
+        )
+        for i in range(n_perm)
+    ]
+    sig = grams.groupBy("doc_id").agg(*mins)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"m{bnd * rows_per + r}").cast("string") for r in range(rows_per)]
+        band_cols.append(F.md5(F.concat_ws("_", *parts)).alias(f"band{bnd}"))
+    banded = sig.select("doc_id", *band_cols, *[F.col(f"m{i}") for i in range(n_perm)])
+    pairs = None
+    for bnd in range(bands):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{bnd}").alias("bk"))
+        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{bnd}").alias("bk"))
+        p = a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    siga = banded.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perm)])
+    sigb = banded.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perm)])
+    est = None
+    for i in range(n_perm):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = t if est is None else est + t
+    out = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("est_sim", (est.cast("double") / n_perm))
+    )
+    return out.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: ordered fold dot product, double-exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    j = cand.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-span pipeline + multimodal stub
+# ---------------------------------------------------------------------------
+
+_SPAN_SYNTH = """
+array(
+  named_struct('kind', 'text', 'text', text, 'media_ref', CAST(NULL AS STRING), 'offset', 0),
+  named_struct('kind', 'geo',
+    'text', CAST(((doc_id * {A} + {C}) % {M}) % 170001 AS STRING) || ':' ||
+            CAST(((((doc_id * {A} + {C}) % {M}) * {A} + {C}) % {M}) % 360000 AS STRING),
+    'media_ref', CAST(NULL AS STRING), 'offset', 1),
+  named_struct('kind', 'media', 'text', CAST(NULL AS STRING),
+    'media_ref', 'media://blob/' || CAST(doc_id AS STRING), 'offset', 2)
+)
+"""
+
+
+def _spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved doc table synthesized from documents via pure Catalyst.
+
+    Docs with doc_id%4==0 carry a media span; others get the first two spans.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    synth = _SPAN_SYNTH.format(A=specs.LCG_A, C=specs.LCG_C, M=specs.LCG_M)
+    spans = F.when(
+        F.col("doc_id") % 4 == 0, F.expr(synth)
+    ).otherwise(F.expr(f"slice({synth}, 1, 2)"))
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def q_span_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode -> shuffle -> reassemble spans; prove (kind, text, media_ref,
+    order) sequence survives exactly (BASELINE input_hint invariant)."""
+    spans = _spans_df(spark, sf_dir)
+    flat = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    # round-trip through a shuffle, then reassemble in span order
+    re = (
+        flat.repartition(16, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("seq")
+        )
+    )
+    kinds = F.expr("concat_ws(',', transform(seq, s -> s.kind))")
+    sig = F.md5(
+        F.expr(
+            "concat_ws('', transform(seq, s -> concat_ws('', s.kind, "
+            "coalesce(s.text, ' '), coalesce(s.media_ref, ' '), CAST(s.offset AS STRING))))"
+        ).cast("binary")
+    )
+    return re.select(
+        "doc_id", F.size("seq").alias("n_spans"), kinds.alias("kinds"), sig.alias("span_sig")
+    )
+
+
+def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-geo extraction (pure Catalyst) -> scaled-int degrees -> tile."""
+    spans = _spans_df(spark, sf_dir)
+    geo_text = F.filter("spans", lambda s: s["kind"] == F.lit("geo"))[0]["text"]
+    parts = F.split(geo_text, ":")
+    lat = parts[0].cast("long") / F.lit(1000.0) - F.lit(85.0)
+    lng = parts[1].cast("long") / F.lit(1000.0) - F.lit(180.0)
+    df = spans.select("doc_id", lat.alias("lat"), lng.alias("lng"))
+    df = tiling.with_leaf_cellid(df)
+    return df.select("doc_id", "lat", "lng", tiling.parent_col("cell_id", 8).alias("cell_l8"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stub: media spans -> deterministic fake decode features.
+
+    Real Spark plumbing (mapInPandas over binary refs, typed schema); the
+    decoder itself is a deterministic stand-in (no image libs in container).
+    """
+    from .multimodal import decode_media_features
+
+    spans = _spans_df(spark, sf_dir)
+    media = spans.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).where(F.col("s.kind") == "media").select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return decode_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Relational layer (stock Spark; oracle = plain SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary; decimal-exact money sums."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    # small factors keep the triple product within decimal(38,_) exactly
+    disc = F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
+    tax = F.lit(1).cast("decimal(8,2)") + F.col("l_tax").cast("decimal(8,2)")
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sp"),
+            F.sum(dec("l_extendedprice") * disc).alias("_sd"),
+            F.sum(dec("l_extendedprice") * disc * tax).alias("_sc"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base"),
+        F.col("_sd").cast("double").alias("sum_disc"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        "cnt",
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation with broadcast dims; decimal revenue."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    out = j.groupBy("n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        F.count("*").alias("n_orders"),
+    )
+    return out.select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_orders")
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (window top-k)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", "o_totalprice")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event rollup (batch analog of the streaming window agg)."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+    )
+    return out.select("hour", "event_type", "cnt", F.col("_sv").cast("double").alias("sum_value"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle) via window lag + running sum."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .select("user_id", "sess_no", "n_events", "first_event", "last_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "s2_tile_assign": q_tile_assign,
+    "s2_cell_hierarchy": q_cell_hierarchy,
+    "s2_cap_join": q_cap_join,
+    "s2_rect_join": q_rect_join,
+    "s2_pip_join": q_pip_join,
+    "s2_knn": q_knn,
+    "s2_covering_set_ops": q_covering_set_ops,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "minhash_lsh": q_minhash_lsh,
+    "ann_cosine": q_ann_cosine,
+    "span_pipeline": q_span_pipeline,
+    "geo_extract": q_geo_extract,
+    "media_features": q_media_features,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+}

@@ -1,0 +1,141 @@
+"""Shared literal specs for driver queries and their DuckDB oracles.
+
+Every constant that appears on BOTH sides of the correctness gate (the Spark
+query and the DuckDB oracle SQL) is defined exactly once here and embedded as
+a full-precision literal, so the two sides can only diverge through genuine
+algorithmic differences — never through copy-paste drift.
+
+Deterministic geo derivation: the driver's testdata has no lat/lng column, so
+queries derive one from ``event_id`` using *exact integer arithmetic* (a
+Lehmer LCG step, then scaled-integer degrees).  Both engines compute identical
+doubles: integer ops are exact and the final divide-by-1000 is a single IEEE
+op.  No transcendentals in the derivation path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Lat/lng derivation from event_id (exact in both engines)
+# ---------------------------------------------------------------------------
+
+LCG_A = 48271
+LCG_C = 11
+LCG_M = 2147483647  # 2^31 - 1
+
+
+def latlng_sql(id_col: str = "event_id") -> tuple[str, str]:
+    """SQL fragments (lat, lng) — valid in both Spark SQL and DuckDB."""
+    x1 = f"(({id_col} * {LCG_A} + {LCG_C}) % {LCG_M})"
+    x2 = f"(({x1} * {LCG_A} + {LCG_C}) % {LCG_M})"
+    lat = f"(({x1} % 170001) / 1000.0 - 85.0)"
+    lng = f"(({x2} % 360000) / 1000.0 - 180.0)"
+    return lat, lng
+
+
+def latlng_np(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Same derivation in numpy (for brute-force reference computations)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    x1 = (ids * LCG_A + LCG_C) % LCG_M
+    x2 = (x1 * LCG_A + LCG_C) % LCG_M
+    lat = (x1 % 170001) / 1000.0 - 85.0
+    lng = (x2 % 360000) / 1000.0 - 180.0
+    return lat, lng
+
+
+def f(v: float) -> str:
+    """Full-precision double literal (round-trips exactly in both engines)."""
+    return repr(float(v))
+
+
+# ---------------------------------------------------------------------------
+# Query regions (all literals; centers also embedded in oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def _unit_xyz(lat_deg: float, lng_deg: float) -> tuple[float, float, float]:
+    la, ln = math.radians(lat_deg), math.radians(lng_deg)
+    return (math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la))
+
+
+def _chord2(radius_deg: float) -> float:
+    # cap.rs:108-110: squared chord for an angular radius.
+    s = math.sin(0.5 * math.radians(radius_deg))
+    return 4.0 * s * s
+
+
+# (region_id, lat, lng, radius_deg) — mix of hot (over city blobs in synthetic
+# docs) and cold caps, plus a polar one.
+CAPS = [
+    ("cap_sf", 37.7749, -122.4194, 3.0),
+    ("cap_nyc", 40.7128, -74.0060, 2.0),
+    ("cap_tokyo", 35.6762, 139.6503, 4.0),
+    ("cap_pacific", -10.0, -150.0, 15.0),
+    ("cap_polar", 88.0, 0.0, 5.0),
+]
+
+
+def cap_rows() -> list[tuple[str, float, float, float, float]]:
+    """(region_id, cx, cy, cz, radius2) with centers/radii as exact doubles."""
+    out = []
+    for rid, lat, lng, r in CAPS:
+        cx, cy, cz = _unit_xyz(lat, lng)
+        out.append((rid, cx, cy, cz, _chord2(r)))
+    return out
+
+
+# (region_id, lat_lo, lng_lo, lat_hi, lng_hi); rect_dateline crosses ±180.
+RECTS = [
+    ("rect_bayarea", 36.5, -123.5, 39.0, -121.0),
+    ("rect_europe", 35.0, -10.0, 60.0, 30.0),
+    ("rect_dateline", -20.0, 170.0, 10.0, -160.0),
+    ("rect_antarctic", -90.0, -180.0, -60.0, 180.0),
+]
+
+# Convex CCW spherical polygons as lat/lng vertex rings (degrees).
+POLYGONS = [
+    ("poly_diamond_us", [(30.0, -100.0), (40.0, -85.0), (50.0, -100.0), (40.0, -115.0)]),
+    ("poly_pentagon_sa", [(-30.0, -70.0), (-25.0, -55.0), (-10.0, -50.0), (-5.0, -65.0), (-15.0, -75.0)]),
+    ("poly_quad_asia", [(20.0, 95.0), (15.0, 120.0), (40.0, 130.0), (45.0, 100.0)]),
+]
+
+PIP_MARGIN = 1e-12  # exclude points this close to an edge plane (both sides)
+
+
+def polygon_vertices_xyz(ring: list[tuple[float, float]]) -> list[tuple[float, float, float]]:
+    return [_unit_xyz(la, ln) for la, ln in ring]
+
+
+# kNN query points: (query_id, lat, lng); k below.
+KNN_QUERIES = [
+    ("q_sf", 37.7, -122.4),
+    ("q_london", 51.5, -0.1),
+    ("q_sydney", -33.9, 151.2),
+    ("q_equator", 0.0, 0.0),
+    ("q_southpole", -89.0, 10.0),
+    ("q_tokyo", 35.7, 139.7),
+]
+KNN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# Text-pipeline constants
+# ---------------------------------------------------------------------------
+
+FP_MOD = 1000000007
+FP_MULT = 31
+
+# Stopword markers for the language-scoring heuristic (space-padded substring
+# counting — replace-arithmetic identical in both engines).
+LANG_MARKERS = [
+    ("en", ["the", "and", "of"]),
+    ("de", ["der", "und", "die"]),
+    ("es", ["el", "la", "de"]),
+    ("fr", ["le", "la", "et"]),
+]
+
+PUNCT_CHARS = ".,!?;:"
+VOWELS = "aeiou"

@@ -30,6 +30,7 @@ __all__ = [
     "cellid_to_token_udf",
     "with_leaf_cellid",
     "parent_col",
+    "parent_var_col",
     "level_col",
     "range_min_col",
     "range_max_col",
@@ -103,6 +104,18 @@ def parent_col(cell: Column | str, level: int) -> Column:
 
 def _lsb_col(cell: Column) -> Column:
     return cell.bitwiseAND(-cell)
+
+
+def parent_var_col(cell: Column | str, level: Column) -> Column:
+    """Ancestor at a per-row level column — still pure bit math.
+
+    lsb = 1 << 2*(30-level); parent = (id & -lsb) | lsb  (cellid.rs:265-268).
+    """
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    lsb = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(2) * (F.lit(MAX_LEVEL) - level)).cast("int")
+    )
+    return cell.bitwiseAND(-lsb).bitwiseOR(lsb)
 
 
 def range_min_col(cell: Column | str) -> Column:
