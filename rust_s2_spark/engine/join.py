@@ -138,49 +138,50 @@ def covering_join(
     salt: int | None = None,
     salt_col: str = "doc_id",
     id_col: str | None = None,
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Join docs (leaf cellid) with exploded covering cells.
 
-    Per-level equi-join: for each distinct cover level L in the covering set,
-    join on ``parent(doc_leaf, L) == cover_cell``; union the branches. Each
-    branch is a plain equi-join -> broadcast hash join when the region side is
-    small, with the bit-op parent evaluated in whole-stage codegen.
+    Single equi-join: the doc side explodes its leaf to the ancestor at every
+    *distinct* covering level (a handful of pure bit-op values, one array
+    explode — the parquet scan and the cellid UDF run exactly once), then one
+    hash join against ``cover_cell``.  A cellid encodes its level in the lsb,
+    so a level-L ancestor can only ever equal a level-L covering cell —
+    cross-level false matches are impossible, and because a RegionCoverer
+    covering is a *normalized* CellUnion (disjoint cells, cellunion.rs:61-127)
+    each doc matches at most one covering cell per region: no dedup needed.
 
+    Broadcast path (default): map-side hash join, zero shuffle of doc rows.
     ``salt``: explode region side x salt and key docs by a deterministic hash
     bucket, splitting hot covering cells across reducers (north_rule skew
-    handling). Only useful on the shuffle path; broadcast joins don't need it.
+    handling). Only useful on the shuffle (sort-merge) path.
     """
-    levels = [r[0] for r in coverings.select("cover_level").distinct().collect()]
+    if levels is None:
+        levels = sorted(r[0] for r in coverings.select("cover_level").distinct().collect())
     if not levels:
         raise ValueError("empty covering set")
 
-    branches = []
-    for lvl in sorted(levels):
-        cov = coverings.where(F.col("cover_level") == lvl)
-        if salt:
-            cov = cov.withColumn(
-                "_salt_r", F.explode(F.array([F.lit(i) for i in range(salt)]))
-            )
-        if broadcast_regions:
-            cov = F.broadcast(cov)
-        d = docs.withColumn("_join_cell", tiling.parent_col(cell_col, lvl))
-        if salt:
-            d = d.withColumn(
-                "_salt_d", F.pmod(F.xxhash64(F.col(id_col or salt_col)), F.lit(salt))
-            )
-            branch = d.join(
-                cov,
-                on=(F.col("_join_cell") == F.col("cover_cell"))
-                & (F.col("_salt_d") == F.col("_salt_r")),
-            ).drop("_salt_d", "_salt_r")
-        else:
-            branch = d.join(cov, on=F.col("_join_cell") == F.col("cover_cell"))
-        branches.append(branch.drop("_join_cell"))
-
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    d = docs.withColumn(
+        "_join_cell",
+        F.explode(F.array([tiling.parent_col(cell_col, lvl) for lvl in levels])),
+    )
+    cov = coverings
+    if salt:
+        cov = cov.withColumn("_salt_r", F.explode(F.array([F.lit(i) for i in range(salt)])))
+        d = d.withColumn(
+            "_salt_d", F.pmod(F.xxhash64(F.col(id_col or salt_col)), F.lit(salt))
+        )
+    if broadcast_regions:
+        cov = F.broadcast(cov)
+    if salt:
+        out = d.join(
+            cov,
+            on=(F.col("_join_cell") == F.col("cover_cell"))
+            & (F.col("_salt_d") == F.col("_salt_r")),
+        ).drop("_salt_d", "_salt_r")
+    else:
+        out = d.join(cov, on=F.col("_join_cell") == F.col("cover_cell"))
+    return out.drop("_join_cell")
 
 
 def salted(df: DataFrame, key_col: str, n_salt: int, out: str = "salt") -> DataFrame:
@@ -221,6 +222,8 @@ def cap_join(
     broadcast_regions: bool = True,
     salt: int | None = None,
     id_col: str = "doc_id",
+    jvm_refine: bool = True,
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Exact cap-containment spatial join: covering prefilter + chord refine.
 
@@ -228,16 +231,29 @@ def cap_join(
     Coverings may overlap across levels for one region -> dedupe on
     (region_id, id_col).
     """
-    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
+    coarse = covering_join(
+        docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col=id_col, levels=levels
+    )
     reg = F.broadcast(regions) if broadcast_regions else regions
     joined = coarse.join(reg, on="region_id")
-    refined = joined.where(
-        _cap_refine_udf()(
-            F.col("lat"), F.col("lng"), F.col("cx"), F.col("cy"), F.col("cz"), F.col("radius2")
+    if jvm_refine:
+        # same |c-p|^2 <= r2 predicate in pure Column math: stays inside
+        # whole-stage codegen, no Arrow round-trip for the refine.
+        px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+        py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+        pz = F.sin(F.radians("lat"))
+        d2 = (
+            (px - F.col("cx")) ** 2 + (py - F.col("cy")) ** 2 + (pz - F.col("cz")) ** 2
         )
-    )
+        refined = joined.where(d2 <= F.col("radius2"))
+    else:
+        refined = joined.where(
+            _cap_refine_udf()(
+                F.col("lat"), F.col("lng"), F.col("cx"), F.col("cy"), F.col("cz"), F.col("radius2")
+            )
+        )
     keep = [c for c in docs_tiled.columns] + ["region_id"]
-    return refined.select(*keep).dropDuplicates(["region_id", id_col])
+    return refined.select(*keep)
 
 
 def rect_join(
@@ -248,12 +264,15 @@ def rect_join(
     broadcast_regions: bool = True,
     salt: int | None = None,
     id_col: str = "doc_id",
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Exact lat/lng-rect containment join (rect.rs:693-707 semantics).
 
     Refine is pure Column math (interval tests with dateline wrap) — no UDF.
     """
-    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
+    coarse = covering_join(
+        docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col=id_col, levels=levels
+    )
     reg = F.broadcast(regions) if broadcast_regions else regions
     joined = coarse.join(reg, on="region_id")
     lat_ok = (F.col("lat") >= F.col("lat_lo")) & (F.col("lat") <= F.col("lat_hi"))
@@ -264,4 +283,4 @@ def rect_join(
     ).otherwise((F.col("lng") >= F.col("lng_lo")) | (F.col("lng") <= F.col("lng_hi")))
     refined = joined.where(lat_ok & lng_ok)
     keep = [c for c in docs_tiled.columns] + ["region_id"]
-    return refined.select(*keep).dropDuplicates(["region_id", id_col])
+    return refined.select(*keep)

@@ -102,11 +102,14 @@ def loop_join(
     broadcast_regions: bool = True,
     salt: int | None = None,
     id_col: str = "doc_id",
+    levels: list[int] | None = None,
 ) -> DataFrame:
     """Exact polygon-containment join: covering prefilter + crossing-number PIP."""
-    coarse = covering_join(docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col)
+    coarse = covering_join(
+        docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col=id_col, levels=levels
+    )
     refined = coarse.where(
         _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
     )
     keep = [c for c in docs_tiled.columns] + ["region_id"]
-    return refined.select(*keep).dropDuplicates(["region_id", id_col])
+    return refined.select(*keep)

@@ -14,6 +14,7 @@ Scale discipline (the point of each query, beyond correctness):
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -103,25 +104,40 @@ def q_cell_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cap_setup(spark: SparkSession):
-    rows = specs.cap_rows()
-    regions = spark.createDataFrame(
-        rows, "region_id string, cx double, cy double, cz double, radius2 double"
-    )
+@functools.cache
+def _cap_cov_rows() -> tuple:
     coverer = RegionCoverer(max_cells=12)
     cov_rows = []
-    for rid, cx, cy, cz, r2 in rows:
+    for rid, cx, cy, cz, r2 in specs.cap_rows():
         cap = Cap(np.array([cx, cy, cz]), r2)
-        for cid in coverer.covering(cap).ids:
-            u = np.uint64(cid)
-            cov_rows.append(
-                (rid, int(np.int64(u)), int(h.level(u)), int(np.int64(h.range_min(u))), int(np.int64(h.range_max(u))))
-            )
-    coverings = spark.createDataFrame(
-        cov_rows,
-        "region_id string, cover_cell long, cover_level int, range_min long, range_max long",
+        cov_rows.extend(_cov_rows_for(rid, coverer.covering(cap).ids))
+    return tuple(cov_rows)
+
+
+def _cov_rows_for(rid: str, ids) -> list[tuple]:
+    out = []
+    for cid in ids:
+        u = np.uint64(cid)
+        out.append(
+            (rid, int(np.int64(u)), int(h.level(u)),
+             int(np.int64(h.range_min(u))), int(np.int64(h.range_max(u))))
+        )
+    return out
+
+
+_COVER_SCHEMA = (
+    "region_id string, cover_cell long, cover_level int, range_min long, range_max long"
+)
+
+
+def _cap_setup(spark: SparkSession):
+    regions = spark.createDataFrame(
+        specs.cap_rows(), "region_id string, cx double, cy double, cz double, radius2 double"
     )
-    return regions, coverings
+    cov_rows = _cap_cov_rows()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    return regions, coverings, levels
 
 
 def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,34 +147,33 @@ def q_cap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality proves the covering prefilter loses/invents no rows.
     """
     docs = events_geo(spark, sf_dir)
-    regions, coverings = _cap_setup(spark)
-    out = cap_join(docs, regions, coverings, id_col="event_id")
+    regions, coverings, levels = _cap_setup(spark)
+    out = cap_join(docs, regions, coverings, id_col="event_id", levels=levels)
     return out.select("region_id", "event_id")
 
 
 def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lat/lng-rect containment join incl. an antimeridian-crossing rect."""
     docs = events_geo(spark, sf_dir)
-    reg_rows = list(specs.RECTS)
     regions = spark.createDataFrame(
-        reg_rows,
+        list(specs.RECTS),
         "region_id string, lat_lo double, lng_lo double, lat_hi double, lng_hi double",
     )
+    cov_rows = _rect_cov_rows()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    out = rect_join(docs, regions, coverings, id_col="event_id", levels=levels)
+    return out.select("region_id", "event_id")
+
+
+@functools.cache
+def _rect_cov_rows() -> tuple:
     coverer = RegionCoverer(max_cells=12)
     cov_rows = []
-    for rid, lat_lo, lng_lo, lat_hi, lng_hi in reg_rows:
+    for rid, lat_lo, lng_lo, lat_hi, lng_hi in specs.RECTS:
         rect = Rect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
-        for cid in coverer.covering(rect).ids:
-            u = np.uint64(cid)
-            cov_rows.append(
-                (rid, int(np.int64(u)), int(h.level(u)), int(np.int64(h.range_min(u))), int(np.int64(h.range_max(u))))
-            )
-    coverings = spark.createDataFrame(
-        cov_rows,
-        "region_id string, cover_cell long, cover_level int, range_min long, range_max long",
-    )
-    out = rect_join(docs, regions, coverings, id_col="event_id")
-    return out.select("region_id", "event_id")
+        cov_rows.extend(_cov_rows_for(rid, coverer.covering(rect).ids))
+    return tuple(cov_rows)
 
 
 def polygon_edge_crosses() -> dict[str, list[tuple[float, float, float]]]:
@@ -196,6 +211,19 @@ def _margin_pred(region_col: str = "region_id"):
     return pred
 
 
+@functools.cache
+def _loop_setup():
+    from ..kernel.pip import Loop
+
+    coverer = RegionCoverer(max_cells=12)
+    verts, cov_rows = {}, []
+    for rid, ring in specs.POLYGONS:
+        v = np.asarray(specs.polygon_vertices_xyz(ring), dtype=np.float64)
+        verts[rid] = v
+        cov_rows.extend(_cov_rows_for(rid, coverer.covering(Loop(v)).ids))
+    return verts, tuple(cov_rows)
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join: covering prefilter + crossing-number PIP kernel.
 
@@ -203,16 +231,17 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIP_MARGIN of any edge plane are excluded on both sides.
     """
     docs = events_geo(spark, sf_dir)
-    polys = [(rid, specs.polygon_vertices_xyz(ring)) for rid, ring in specs.POLYGONS]
-    verts, coverings = loop_regions(spark, polys)
-    coarse = covering_join(docs, coverings, id_col="event_id")
+    verts, cov_rows = _loop_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
     coarse = coarse.where(_margin_pred())
     from .polyjoin import _pip_refine_udf
 
     refined = coarse.where(
         _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
     )
-    return refined.select("region_id", "event_id").dropDuplicates(["region_id", "event_id"])
+    return refined.select("region_id", "event_id")
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,8 +261,16 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pz = F.sin(F.radians("lat"))
     d2 = (px - F.col("qx")) ** 2 + (py - F.col("qy")) ** 2 + (pz - F.col("qz")) ** 2
     joined = docs.crossJoin(F.broadcast(queries)).withColumn("d2", d2)
+    # two-stage top-k: map-side partial top-k per (input partition, query)
+    # keeps the final shuffle at O(partitions * k) rows, not O(n).
+    wp = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        F.col("d2").asc(), F.col("event_id").asc()
+    )
+    partial = joined.withColumn("prank", F.row_number().over(wp)).where(
+        F.col("prank") <= specs.KNN_K
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
-    ranked = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= specs.KNN_K)
+    ranked = partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= specs.KNN_K)
     return ranked.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
 
 
@@ -351,14 +388,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact verifier, oracle-checked brute force.
     """
     docs = _read(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = docs.withColumn("t", F.split(F.col("text"), " ")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) "
+                "CASE WHEN size(t) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', element_at(t, i), "
+                "element_at(t, i + 1), element_at(t, i + 2)))) "
                 "ELSE array() END"
             )
         ).alias("gram"),
@@ -423,14 +460,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash similarity estimate.  Deterministic (fixed hash params).
     """
     docs = _read(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = docs.withColumn("t", F.split(F.col("text"), " ")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))) "
+                "CASE WHEN size(t) >= 3 THEN "
+                "array_distinct(transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', element_at(t, i), "
+                "element_at(t, i + 1), element_at(t, i + 2)))) "
                 "ELSE array() END"
             )
         ).alias("gram"),
@@ -446,28 +483,36 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(n_perm)
     ]
-    sig = grams.groupBy("doc_id").agg(*mins)
-    band_cols = []
+    # signature table computed once and persisted: it feeds the band join and
+    # both sides of the estimate join (at 100 TB this is the checkpoint table)
+    sig = grams.groupBy("doc_id").agg(*mins).persist()
+    band_structs = []
     for bnd in range(bands):
         parts = [F.col(f"m{bnd * rows_per + r}").cast("string") for r in range(rows_per)]
-        band_cols.append(F.md5(F.concat_ws("_", *parts)).alias(f"band{bnd}"))
-    banded = sig.select("doc_id", *band_cols, *[F.col(f"m{i}") for i in range(n_perm)])
-    pairs = None
-    for bnd in range(bands):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{bnd}").alias("bk"))
-        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{bnd}").alias("bk"))
-        p = a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
-    siga = banded.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perm)])
-    sigb = banded.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perm)])
+        band_structs.append(
+            F.struct(F.lit(bnd).alias("band_idx"), F.md5(F.concat_ws("_", *parts)).alias("bk"))
+        )
+    # one self-join on (band_idx, band_key) — not one join per band
+    bands_df = sig.select("doc_id", F.explode(F.array(band_structs)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bk").alias("bk")
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "bk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perm)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perm)])
     est = None
     for i in range(n_perm):
         t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         est = t if est is None else est + t
     out = (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
+        cand.join(F.broadcast(siga), "doc_a")
+        .join(F.broadcast(sigb), "doc_b")
         .withColumn("est_sim", (est.cast("double") / n_perm))
     )
     return out.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
