@@ -534,6 +534,54 @@ FROM c GROUP BY 1, 2
 """
 
 
+def o_segment_distance() -> str:
+    """Same interior/vertex chord-distance formula, generated per segment."""
+    from .specs import polyline_segments_xyz
+
+    seg_exprs = []
+    for a, b in polyline_segments_xyz():
+        ax, ay, az = a
+        bx, by, bz = b
+        cx = ay * bz - az * by
+        cy = az * bx - ax * bz
+        cz = ax * by - ay * bx
+        c2 = cx * cx + cy * cy + cz * cz
+        A = lambda v: f"({specs.f(v)})"  # parens: bare "--0.4" is a SQL comment
+        xa2 = f"((x-{A(ax)})*(x-{A(ax)}) + (y-{A(ay)})*(y-{A(ay)}) + (z-{A(az)})*(z-{A(az)}))"
+        xb2 = f"((x-{A(bx)})*(x-{A(bx)}) + (y-{A(by)})*(y-{A(by)}) + (z-{A(bz)})*(z-{A(bz)}))"
+        ab2 = (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
+        eps = 2.220446049250313e-16
+        max_err = f"(4.75e0 * {A(eps)} * ({xa2} + {xb2} + {A(ab2)}) + {A(8.0 * eps * eps)})"
+        xdc = f"({A(cx)}*x + {A(cy)}*y + {A(cz)}*z)"
+        # cx_vec = c x X
+        cxx = f"({A(cy)}*z - {A(cz)}*y)"
+        cxy = f"({A(cz)}*x - {A(cx)}*z)"
+        cxz = f"({A(cx)}*y - {A(cy)}*x)"
+        adot = f"(({A(ax)}-x)*{cxx} + ({A(ay)}-y)*{cxy} + ({A(az)}-z)*{cxz})"
+        bdot = f"(({A(bx)}-x)*{cxx} + ({A(by)}-y)*{cxy} + ({A(bz)}-z)*{cxz})"
+        cxn2 = f"({cxx}*{cxx} + {cxy}*{cxy} + {cxz}*{cxz})"
+        qr = f"(1.0 - sqrt({cxn2} / {A(c2)}))"
+        interior = (
+            f"(abs({xa2} - {xb2}) < {A(ab2)} + {max_err} AND {adot} < 0 AND {bdot} > 0)"
+        )
+        dist = (
+            f"(CASE WHEN {interior} THEN ({xdc}*{xdc}/{A(c2)} + {qr}*{qr}) "
+            f"ELSE least(least({xa2}, {xb2}), 4.0) END)"
+        )
+        seg_exprs.append(dist)
+    best = seg_exprs[0]
+    for e in seg_exprs[1:]:
+        best = f"least({best}, {e})"
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT event_id,
+  round(degrees(2.0 * asin(0.5 * sqrt(least({best}, 4.0)))), 6) AS dist_deg_r
+FROM p
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
@@ -542,6 +590,7 @@ ORACLES = {
     "s2_pip_join": o_pip_join,
     "s2_knn": o_knn,
     "s2_covering_set_ops": o_covering_set_ops,
+    "s2_segment_distance": o_segment_distance,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,
     "lang_id": o_lang_id,

@@ -18,6 +18,7 @@ import functools
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -737,6 +738,99 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min distance from each event to a polyline (edgeutil kernel in-engine).
+
+    The pandas UDF runs the vectorized chord2_point_to_edge kernel
+    (edgeutil.rs:177-332 semantics) over broadcast segments; the oracle
+    replicates the same interior/vertex chord formula in SQL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel import edgeutil as eu
+
+    segs = [
+        (np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()
+    ]
+    bc = spark.sparkContext.broadcast(segs)
+
+    @pandas_udf("double")
+    def _dist(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        xs = np.stack([cl * np.cos(ln), cl * np.sin(ln), np.sin(la)], axis=1)
+        best = None
+        for a, b in bc.value:
+            d = eu.chord2_point_to_edge(xs, a, b)
+            best = d if best is None else np.minimum(best, d)
+        ang = np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(best, 4.0))))
+        return pd.Series(ang)
+
+    docs = events_geo(spark, sf_dir)
+    out = docs.withColumn("dist_deg", _dist(F.col("lat"), F.col("lng")))
+    return out.select("event_id", F.round("dist_deg", 6).alias("dist_deg_r"))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine search (the 100 TB scale path).
+
+    Deterministic "training": centroids are the first 16 vectors.  Every
+    vector is assigned to its nearest centroid by a vectorized numpy pUDF
+    (one matmul per Arrow batch); queries probe the nprobe=4 nearest
+    centroid buckets, so the candidate set shrinks ~4x here (and ~n_lists/
+    nprobe-fold at scale).  Approximate by design -> rows-only check; the
+    exact counterpart is ann_cosine.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def _bucket(e: pd.Series) -> pd.Series:
+        m = np.array(e.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def _probes(e: pd.Series) -> pd.Series:
+        m = np.array(e.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ bc.value.T
+        top = np.argsort(-sims, axis=1)[:, :4].astype(np.int32)
+        return pd.Series(list(top))
+
+    cand = emb.select("vec_id", F.col("embedding").alias("ce"), _bucket("embedding").alias("bucket"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(_probes("embedding")).alias("bucket"),
+    )
+    j = cand.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -749,6 +843,7 @@ QUERIES = {
     "s2_pip_join": q_pip_join,
     "s2_knn": q_knn,
     "s2_covering_set_ops": q_covering_set_ops,
+    "s2_segment_distance": q_segment_distance,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -757,6 +852,7 @@ QUERIES = {
     "simhash": q_simhash,
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine": q_ann_cosine,
+    "ann_ivf": q_ann_ivf,
     "span_pipeline": q_span_pipeline,
     "geo_extract": q_geo_extract,
     "media_features": q_media_features,

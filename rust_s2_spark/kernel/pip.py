@@ -199,11 +199,16 @@ def _ortho(v: np.ndarray) -> np.ndarray:
 
 
 def ordered_ccw(a, b, c, o) -> bool:
-    """B is between A and C going CCW around O (edge_crossings semantics)."""
+    """B is between A and C going CCW around O (edge_crossings semantics).
+
+    Canonical form: the first two tests admit Indeterminate (degenerate
+    equal-point wedges), the third is strict — exactly one of the three can
+    be degenerate-permissive without breaking transitivity.
+    """
     total = 0
-    if robust_sign(b, o, a) == CCW:
+    if robust_sign(b, o, a) != CW:
         total += 1
-    if robust_sign(c, o, b) == CCW:
+    if robust_sign(c, o, b) != CW:
         total += 1
     if robust_sign(a, o, c) == CCW:
         total += 1
@@ -693,3 +698,119 @@ class Polygon:
         return not any(lp._edges_cross_cell(cell) for lp in self.loops) and not any(
             cell.contains_point(v) for lp in self.loops for v in lp.vertices
         )
+
+
+# ---------------------------------------------------------------------------
+# Loop-loop relations (loop.rs:512-611, 836-906, 978-1046) — driver-side ops
+# ---------------------------------------------------------------------------
+
+
+def general_wedge_contains(a0, ab1, a2, b0, b2) -> bool:
+    """Wedge A=(a0,ab1,a2) contains wedge B=(b0,ab1,b2) (loop.rs:884-890)."""
+    return ordered_ccw(a2, b2, b0, ab1) and ordered_ccw(b0, a0, a2, ab1)
+
+
+def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
+    """Wedges A0-AB1-A2 and B0-AB1-B2 intersect at shared center AB1.
+
+    Canonical S2 semantics (the reference's version at loop.rs:855-882 is a
+    self-described stand-in that reuses WedgeContains): for A NOT to
+    intersect B the CCW edge order around ab1 must be a0 b2 b0 a2, written
+    as negated OrderedCCW tests so shared/degenerate vertices resolve right.
+    """
+    return not (ordered_ccw(a0, b2, b0, ab1) and ordered_ccw(b0, a2, a0, ab1))
+
+
+def _shared_vertex_scan(a: "Loop", b: "Loop", wedge_fn) -> tuple[bool, bool]:
+    """(found_shared_vertex, relation_triggered) over all shared vertices."""
+    found = False
+    na, nb = len(a.vertices), len(b.vertices)
+    for i in range(na):
+        vi = a.vertices[i]
+        for j in range(nb):
+            if np.array_equal(vi, b.vertices[j]):
+                found = True
+                if wedge_fn(
+                    a.vertices[(i - 1) % na],
+                    vi,
+                    a.vertices[(i + 1) % na],
+                    b.vertices[(j - 1) % nb],
+                    b.vertices[(j + 1) % nb],
+                ):
+                    return True, True
+    return found, False
+
+
+def _edges_cross(a: "Loop", b: "Loop") -> bool:
+    """Any proper (interior) crossing between boundaries — O(n*m) EdgeCrosser
+    sweep (replaces CrossingEdgeQuery for driver-side loop counts)."""
+    na, nb = len(a.vertices), len(b.vertices)
+    for i in range(na):
+        crosser = EdgeCrosser(a.vertices[i], a.vertices[(i + 1) % na])
+        crosser.restart_at(b.vertices[0])
+        for j in range(nb):
+            if crosser.chain_crossing_sign(b.vertices[(j + 1) % nb]) > 0:
+                return True
+    return False
+
+
+def _rect_is_full(r) -> bool:
+    return (
+        r.lat.lo == -np.pi / 2
+        and r.lat.hi == np.pi / 2
+        and r.lng.is_full()
+    )
+
+
+def loop_contains_loop(a: "Loop", b: "Loop") -> bool:
+    """A.contains(B) — canonical semantics (loop.rs:512-567)."""
+    if not a.subregion_bound.contains_rect(b.bound):
+        return False
+    if len(a.vertices) == 1 or len(b.vertices) == 1:
+        a_full = len(a.vertices) == 1 and a.origin_inside
+        b_empty = len(b.vertices) == 1 and not b.origin_inside
+        return a_full or b_empty
+    found_shared, crossed = _shared_vertex_scan(
+        a, b, lambda a0, ab1, a2, b0, b2: not general_wedge_contains(a0, ab1, a2, b0, b2)
+    )
+    if crossed:
+        return False
+    if not found_shared and _edges_cross(a, b):
+        return False
+    if found_shared:
+        return True
+    if not a.contains_point(b.vertices[0]):
+        return False
+    # reject the union-is-entire-sphere case (loop.rs:558-563)
+    union = _rect_union(b.bound, a.bound)
+    if (b.subregion_bound.contains_rect(a.bound) or _rect_is_full(union)) and b.contains_point(
+        a.vertices[0]
+    ):
+        return False
+    return True
+
+
+def loop_intersects_loop(a: "Loop", b: "Loop") -> bool:
+    """A.intersects(B) — canonical semantics (loop.rs:569-611)."""
+    if not a.bound.intersects_rect(b.bound):
+        return False
+    if len(a.vertices) == 1 or len(b.vertices) == 1:
+        a_full = len(a.vertices) == 1 and a.origin_inside
+        b_full = len(b.vertices) == 1 and b.origin_inside
+        a_nonempty = not (len(a.vertices) == 1 and not a.origin_inside)
+        b_nonempty = not (len(b.vertices) == 1 and not b.origin_inside)
+        return (a_full and b_nonempty) or (b_full and a_nonempty)
+    found_shared, crossed = _shared_vertex_scan(a, b, wedge_intersects)
+    if crossed:
+        return True
+    if not found_shared and _edges_cross(a, b):
+        return True
+    if found_shared:
+        return False
+    if (
+        a.subregion_bound.contains_rect(b.bound) or _rect_is_full(_rect_union(a.bound, b.bound))
+    ) and a.contains_point(b.vertices[0]):
+        return True
+    if b.subregion_bound.contains_rect(a.bound) and b.contains_point(a.vertices[0]):
+        return True
+    return False

@@ -1,0 +1,50 @@
+"""Structured Streaming path: deterministic micro-batch ingest -> tiling ->
+windowed counts; streamed docs must equal batch docs for the same indices."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_s2_spark.engine import ingest, streaming
+
+pytestmark = pytest.mark.spark
+
+
+def test_stream_tile_counts_match_batch(spark):
+    streaming.run_stream_to_memory(
+        spark, rows_per_batch=500, tile_level=4, query_name="tc_test"
+    )
+    got = spark.table("tc_test")
+    rows = got.groupBy("tile").agg(F.sum("n_docs").alias("n")).collect()
+    assert rows, "stream produced no windows"
+    n_streamed = sum(r["n"] for r in rows)
+    assert n_streamed >= 500  # at least one full batch landed
+
+    # the same doc indices through the batch path give identical tile counts
+    batch = ingest.synth_docs(spark, n_streamed, partitions=4)
+    from rust_s2_spark.engine import tiling
+
+    g = tiling.with_leaf_cellid(ingest.extract_geo(batch))
+    g = g.withColumn("tile", tiling.parent_col("cell_id", 4))
+    want = {r["tile"]: r["n"] for r in g.groupBy("tile").count().withColumnRenamed("count", "n").collect()}
+    got_map = {r["tile"]: r["n"] for r in rows}
+    assert got_map == want
+
+
+def test_streamed_docs_identical_to_batch(spark):
+    sdf = streaming.stream_docs(spark, rows_per_batch=200)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("docs_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    streamed = spark.table("docs_test").select("doc_id", "spans").orderBy("doc_id").collect()
+    n = len(streamed)
+    assert n >= 200
+    batch = ingest.synth_docs(spark, n, partitions=2).orderBy("doc_id").collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
