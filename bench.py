@@ -24,10 +24,12 @@ HEADLINE = [
     "s2_rect_join",
     "s2_pip_join",
     "s2_knn",
+    "s2_segment_distance",
     "dedup_exact",
     "ngram_jaccard",
     "simhash",
     "ann_cosine",
+    "embed_dedup",
     "span_pipeline",
     "pricing_summary",
     "sessionize",

@@ -582,6 +582,27 @@ FROM p
 """
 
 
+def o_embed_dedup() -> str:
+    return f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings),
+d AS (
+  SELECT id_a, id_b,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+      (acc, v) -> acc + v) /
+    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))),
+      (acc, v) -> acc + v)) *
+     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+      (acc, v) -> acc + v))) AS sim
+  FROM a, b WHERE id_a < id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim_r FROM d WHERE sim >= {specs.EMBED_DEDUP_TAU}
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
@@ -598,6 +619,7 @@ ORACLES = {
     "ngram_jaccard": o_ngram_jaccard,
     "simhash": o_simhash,
     "ann_cosine": o_ann_cosine,
+    "embed_dedup": o_embed_dedup,
     "span_pipeline": o_span_pipeline,
     "geo_extract": o_geo_extract,
     "media_features": o_media_features,

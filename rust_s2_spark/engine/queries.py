@@ -524,6 +524,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _seq_dot_udf():
+    """Arrow dot product, bit-identical to a sequential left-to-right fold.
+
+    numpy accumulates across rows vectorized but across dims in index order,
+    so the result equals the oracle's list_reduce fold exactly — while the
+    Catalyst zip_with/aggregate lambdas it replaces are CodegenFallback
+    (interpreted, ~100x slower at 10^6+ pairs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        acc = np.zeros(len(ma))
+        for i in range(ma.shape[1]):
+            acc = acc + ma[:, i] * mb[:, i]
+        return pd.Series(acc)
+
+    return _dot
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: ordered fold dot product, double-exact."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -831,6 +853,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
 
 
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, oracle-checked).
+
+    The brute-force exact verifier of the embedding-dedup family; at scale
+    the candidate generation is IVF bucketing (q_ann_ivf).  Threshold from
+    specs so both sides share the literal.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot_udf = _seq_dot_udf()
+    # norms once per vector (not per pair) — same fold, same doubles
+    a = a.withColumn("na", dot_udf(F.col("ea"), F.col("ea")))
+    b = b.withColumn("nb", dot_udf(F.col("eb"), F.col("eb")))
+    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    j = j.withColumn("sim", dot_udf(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb")))
+    out = j.where(F.col("sim") >= F.lit(specs.EMBED_DEDUP_TAU))
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -853,6 +895,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
+    "embed_dedup": q_embed_dedup,
     "span_pipeline": q_span_pipeline,
     "geo_extract": q_geo_extract,
     "media_features": q_media_features,

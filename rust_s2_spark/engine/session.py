@@ -39,7 +39,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        # Arrow batches deliberately small: per-op numpy temporaries stay
+        # cache-resident and allocation pressure per fault-in stays low —
+        # measured faster than 128k/1M batches at high worker counts.
         # glibc tuning for the Arrow/numpy workers: large numpy buffers default
         # to mmap (128 KiB threshold); with dozens of concurrent workers the
         # kernel serializes on mmap_lock and python stages stop scaling.

@@ -133,6 +133,8 @@ def polyline_segments_xyz() -> list[tuple[tuple[float, float, float], tuple[floa
 # Text-pipeline constants
 # ---------------------------------------------------------------------------
 
+EMBED_DEDUP_TAU = 0.35  # calibrated: yields a non-trivial pair set at sf0.01
+
 FP_MOD = 1000000007
 FP_MULT = 31
 

@@ -66,6 +66,16 @@ class RInterval:
             return self
         return RInterval(self.lo - margin, self.hi + margin)
 
+    def interior_contains(self, p: float) -> bool:
+        return self.lo < p < self.hi
+
+    def directed_hausdorff_distance(self, o: "RInterval") -> float:
+        if self.is_empty:
+            return 0.0
+        if o.is_empty:
+            return np.inf
+        return max(0.0, max(self.hi - o.hi, o.lo - self.lo))
+
     def intersection(self, o: "RInterval") -> "RInterval":
         return RInterval(max(self.lo, o.lo), min(self.hi, o.hi))
 
@@ -190,6 +200,33 @@ class SInterval:
         if _positive_distance(p, self.lo) < _positive_distance(self.hi, p):
             return SInterval(p, self.hi)
         return SInterval(self.lo, p)
+
+    def complement_center(self) -> float:
+        """Center of the complement interval (s1/interval.rs semantics)."""
+        if self.lo != self.hi:
+            return SInterval(self.hi, self.lo).center
+        return self.hi + np.pi if self.hi <= 0 else self.hi - np.pi
+
+    def directed_hausdorff_distance(self, y: "SInterval") -> float:
+        """max_{p in self} min_{q in y} d(p,q) on S1 (s1/interval.rs:387-420)."""
+        if y.contains_interval(self):
+            return 0.0
+        if y.is_empty:
+            return np.pi
+        ycc = y.complement_center()
+        if self.contains(ycc):
+            return _positive_distance(y.hi, ycc)
+        hi_hi = (
+            _positive_distance(y.hi, self.hi)
+            if SInterval(y.hi, ycc).contains(self.hi)
+            else 0.0
+        )
+        lo_lo = (
+            _positive_distance(self.lo, y.lo)
+            if SInterval(ycc, y.lo).contains(self.lo)
+            else 0.0
+        )
+        return max(hi_hi, lo_lo)
 
     def expanded(self, margin: float) -> "SInterval":
         if margin >= 0:
@@ -519,6 +556,39 @@ class Cap:
     def cap_bound(self) -> "Cap":
         return self
 
+    def area(self) -> float:
+        """Surface area = 2*pi*height (cap.rs)."""
+        return 2.0 * np.pi * max(0.0, self.height())
+
+    def centroid(self) -> np.ndarray:
+        """Area-weighted centroid vector (cap.rs:426-445); empty -> origin."""
+        if self.is_empty:
+            return np.zeros(3)
+        r = 1.0 - 0.5 * self.height()
+        return self.center * (r * self.area())
+
+    def union(self, other: "Cap") -> "Cap":
+        """Smallest cap enclosing both (cap.rs:447-474; canonical chord math —
+        the reference builds the result radius as if radians were a squared
+        chord, an off-test-path bug)."""
+        from .edgeutil import interpolate_at_distance
+
+        a, b = (self, other) if self.radius2 > other.radius2 else (other, self)
+        if a.is_full or b.is_empty:
+            return Cap(a.center.copy(), a.radius2)
+        a_r = a.radius_rad()
+        b_r = b.radius_rad()
+        dist = float(
+            np.arctan2(np.linalg.norm(np.cross(a.center, b.center)), np.dot(a.center, b.center))
+        )
+        if a_r >= dist + b_r:
+            return Cap(a.center.copy(), a.radius2)
+        res_radius = 0.5 * (dist + a_r + b_r)
+        res_center = interpolate_at_distance(
+            0.5 * (dist - a_r + b_r), self.center, other.center
+        )
+        return Cap(np.asarray(res_center), chord_from_angle(res_radius))
+
     def rect_bound(self) -> "Rect":
         if self.is_empty:
             return Rect.empty()
@@ -662,6 +732,95 @@ class Rect:
 
     def rect_bound(self) -> "Rect":
         return self
+
+    def distance_to_latlng_rad(self, lat: float, lng: float) -> float:
+        """Distance (radians) from the rect to a lat/lng point (rect.rs:259-280)."""
+        from .edgeutil import distance_from_segment
+
+        if self.lng.contains(lng):
+            return max(lat - self.lat.hi, self.lat.lo - lat, 0.0)
+        i = SInterval(self.lng.hi, self.lng.complement_center())
+        rect_lng = self.lng.hi if i.contains(lng) else self.lng.lo
+        lo = _latlng_point(self.lat.lo, rect_lng)
+        hi = _latlng_point(self.lat.hi, rect_lng)
+        p = _latlng_point(lat, lng)
+        return float(distance_from_segment(p, lo, hi)[0])
+
+    @staticmethod
+    def _bisector_intersection(lat: RInterval, lng: float) -> np.ndarray:
+        """rect.rs:407-425."""
+        lng = abs(lng)
+        lat_center = lat.center
+        if lat_center >= 0.0:
+            ortho_bisector = _latlng_point(lat_center - np.pi / 2, lng)
+        else:
+            ortho_bisector = _latlng_point(-lat_center - np.pi / 2, lng - np.pi)
+        ortho_lng = np.array([0.0, -1.0, 0.0])
+        return np.cross(ortho_lng, ortho_bisector)
+
+    @staticmethod
+    def _interior_max_distance(a_lat: RInterval, b: np.ndarray) -> float | None:
+        """rect.rs:430-447."""
+        if a_lat.is_empty or b[0] >= 0.0:
+            return None
+        ip = np.array([-b[0], 0.0, -b[2]])
+        ip_lat = np.arctan2(ip[2], np.hypot(ip[0], ip[1]))
+        if a_lat.interior_contains(ip_lat):
+            ipn = ip / np.linalg.norm(ip)
+            return float(np.arctan2(np.linalg.norm(np.cross(b, ipn)), np.dot(b, ipn)))
+        return None
+
+    @classmethod
+    def _hausdorff_helper(cls, lng_diff: float, a: RInterval, b: RInterval) -> float:
+        """rect.rs:310-405 — directed distance between two longitudinal edges."""
+        from .edgeutil import distance_from_segment
+
+        assert 0.0 <= lng_diff <= np.pi
+        if lng_diff == 0.0:
+            return a.directed_hausdorff_distance(b)
+        b_lo = _latlng_point(b.lo, lng_diff)
+        b_hi = _latlng_point(b.hi, lng_diff)
+        a_lo = _latlng_point(a.lo, 0.0)
+        a_hi = _latlng_point(a.hi, 0.0)
+        max_distance = max(
+            float(distance_from_segment(a_lo, b_lo, b_hi)[0]),
+            float(distance_from_segment(a_hi, b_lo, b_hi)[0]),
+        )
+        if lng_diff <= np.pi / 2:
+            if a.contains(0.0) and b.contains(0.0):
+                max_distance = max(max_distance, lng_diff)
+            return max_distance
+        p = cls._bisector_intersection(b, lng_diff)
+        p = p / np.linalg.norm(p)
+        p_lat = np.arctan2(p[2], np.hypot(p[0], p[1]))
+        if a.contains(p_lat):
+            d = float(np.arctan2(np.linalg.norm(np.cross(p, b_lo)), np.dot(p, b_lo)))
+            max_distance = max(max_distance, d)
+        if p_lat > a.lo:
+            d = cls._interior_max_distance(RInterval(a.lo, min(p_lat, a.hi)), b_lo)
+            if d is not None:
+                max_distance = max(max_distance, d)
+        if p_lat < a.hi:
+            d = cls._interior_max_distance(RInterval(max(p_lat, a.lo), a.hi), b_hi)
+            if d is not None:
+                max_distance = max(max_distance, d)
+        return max_distance
+
+    def directed_hausdorff_distance(self, other: "Rect") -> float:
+        """h(A,B) = max_{p in A} min_{q in B} d(p,q) (rect.rs:291-309)."""
+        if self.is_empty:
+            return 0.0
+        if other.is_empty:
+            return np.pi
+        lng_distance = self.lng.directed_hausdorff_distance(other.lng)
+        return self._hausdorff_helper(lng_distance, self.lat, other.lat)
+
+    def hausdorff_distance(self, other: "Rect") -> float:
+        """Undirected Hausdorff distance (rect.rs:285-289)."""
+        return max(
+            self.directed_hausdorff_distance(other),
+            other.directed_hausdorff_distance(self),
+        )
 
     def cap_bound(self) -> Cap:
         if self.is_empty:

@@ -62,7 +62,7 @@ def run_at(n_exec: int, cores_per: int, n_docs: int, partitions: int, repeats: i
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     partitions = 128
-    repeats = 3
+    repeats = 4
     subprocess.run(["make", "package"], cwd=REPO, check=True, capture_output=True)
     r_n = run_at(2, 4, n_docs, partitions, repeats)
     r_4n = run_at(8, 4, n_docs, partitions, repeats)
