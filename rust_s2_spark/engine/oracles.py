@@ -603,10 +603,41 @@ SELECT id_a, id_b, round(sim, 6) AS sim_r FROM d WHERE sim >= {specs.EMBED_DEDUP
 """
 
 
+def _cap_exists_clause() -> str:
+    vals = ", ".join(
+        f"({specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
+        for _, cx, cy, cz, r2 in specs.cap_rows()
+    )
+    return (
+        f"EXISTS (SELECT 1 FROM (VALUES {vals}) caps(cx, cy, cz, r2) "
+        "WHERE (x - cx) * (x - cx) + (y - cy) * (y - cy) + (z - cz) * (z - cz) <= r2)"
+    )
+
+
+def o_cap_semijoin() -> str:
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT event_id FROM p WHERE {_cap_exists_clause()}
+"""
+
+
+def o_cap_antijoin() -> str:
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT event_id FROM p WHERE NOT {_cap_exists_clause()}
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
     "s2_cap_join": o_cap_join,
+    "s2_cap_semijoin": o_cap_semijoin,
+    "s2_cap_antijoin": o_cap_antijoin,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_knn": o_knn,

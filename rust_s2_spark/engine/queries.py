@@ -873,6 +873,26 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 
+def q_cap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside >=1 cap — left-semi join against the spatial match set."""
+    docs = events_geo(spark, sf_dir)
+    regions, coverings, levels = _cap_setup(spark)
+    hits = cap_join(docs, regions, coverings, id_col="event_id", levels=levels)
+    return docs.join(hits.select("event_id"), on="event_id", how="left_semi").select(
+        "event_id"
+    )
+
+
+def q_cap_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside no cap — left-anti join (negative-space filter)."""
+    docs = events_geo(spark, sf_dir)
+    regions, coverings, levels = _cap_setup(spark)
+    hits = cap_join(docs, regions, coverings, id_col="event_id", levels=levels)
+    return docs.join(hits.select("event_id"), on="event_id", how="left_anti").select(
+        "event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -881,6 +901,8 @@ QUERIES = {
     "s2_tile_assign": q_tile_assign,
     "s2_cell_hierarchy": q_cell_hierarchy,
     "s2_cap_join": q_cap_join,
+    "s2_cap_semijoin": q_cap_semijoin,
+    "s2_cap_antijoin": q_cap_antijoin,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_knn": q_knn,

@@ -376,3 +376,28 @@ def cellid_to_hex(cid):
 def hex_to_cellid(hx):
     """hex strings -> uint64 array."""
     return np.array([np.uint64(int(h, 16)) for h in np.atleast_1d(hx)], dtype=np.uint64)
+
+
+def to_string(cid) -> str:
+    """Debug path form "face/3210..." (cellid.rs:804-812)."""
+    u = np.uint64(cid)
+    if not bool(is_valid(u)):
+        return "Invalid: " + format(int(u), "016x")
+    out = [str(int(u >> np.uint64(POS_BITS))), "/"]
+    for lvl in range(1, int(level(u)) + 1):
+        out.append(str(int(child_position(u, lvl))))
+    return "".join(out)
+
+
+def from_string(s: str) -> np.uint64:
+    """Parse "face/3210..." (cellid.rs:186-204); invalid -> 0."""
+    if len(s) < 2 or len(s) - 2 > MAX_LEVEL:
+        return np.uint64(0)
+    if not s[0].isdigit() or int(s[0]) > 5 or s[1] != "/":
+        return np.uint64(0)
+    cid = from_face(int(s[0]))
+    for ch in s[2:]:
+        if ch not in "0123":
+            return np.uint64(0)
+        cid = children(cid)[int(ch)]
+    return np.uint64(cid)

@@ -814,3 +814,90 @@ def loop_intersects_loop(a: "Loop", b: "Loop") -> bool:
     if b.subregion_bound.contains_rect(a.bound) and b.contains_point(a.vertices[0]):
         return True
     return False
+
+
+def wedge_contains_semi_wedge(a0, ab1, a2, b2, reverse: bool) -> bool:
+    """Wedge (a0,ab1,a2) contains the semiwedge just CCW of edge (ab1,b2)
+    (loop.rs:896-906)."""
+    if np.array_equal(b2, a0) or np.array_equal(b2, a2):
+        return bool(np.array_equal(b2, a0)) == reverse
+    return ordered_ccw(a0, a2, b2, ab1)
+
+
+def loop_compare_boundary(a: "Loop", b: "Loop", b_is_hole: bool = False) -> int:
+    """+1 if A contains B's boundary, -1 if A excludes it, 0 if they cross
+    (loop.rs:1125-1168 + CompareBoundaryRelation wedge rule)."""
+    if not a.bound.intersects_rect(b.bound):
+        return -1
+    a_full = len(a.vertices) == 1 and a.origin_inside
+    b_full = len(b.vertices) == 1 and b.origin_inside
+    if a_full:
+        return 1
+    if b_full:
+        return -1
+    contains_edge = excludes_edge = False
+    found_shared = False
+    na, nb = len(a.vertices), len(b.vertices)
+    for i in range(na):
+        vi = a.vertices[i]
+        for j in range(nb):
+            if np.array_equal(vi, b.vertices[j]):
+                found_shared = True
+                if wedge_contains_semi_wedge(
+                    a.vertices[(i - 1) % na],
+                    vi,
+                    a.vertices[(i + 1) % na],
+                    b.vertices[(j + 1) % nb],
+                    b_is_hole,
+                ):
+                    contains_edge = True
+                else:
+                    excludes_edge = True
+                if contains_edge and excludes_edge:
+                    return 0
+    if not found_shared and _edges_cross(a, b):
+        return 0
+    if found_shared:
+        return 1 if contains_edge else -1
+    return 1 if a.contains_point(b.vertices[0]) else -1
+
+
+def _poly_shells_holes(p: "Polygon"):
+    """Parity convention: loops[0] is the shell, the rest are depth-1 holes."""
+    return p.loops[0], list(p.loops[1:])
+
+
+def polygon_contains_polygon(a: "Polygon", b: "Polygon") -> bool:
+    """A.contains(B) for polygons (polygon.rs:1064-1103 fast paths, plus the
+    shell/hole algebra for single-shell-with-holes polygons)."""
+    if len(a.loops) == 1 and len(b.loops) == 1:
+        return loop_contains_loop(a.loops[0], b.loops[0])
+    sa, holes_a = _poly_shells_holes(a)
+    sb, holes_b = _poly_shells_holes(b)
+    if not loop_contains_loop(sa, sb):
+        return False
+    for ha in holes_a:
+        # A's hole must not eat into B: it must either not touch B's shell,
+        # or sit entirely inside one of B's holes.
+        if loop_intersects_loop(ha, sb) and not any(
+            loop_contains_loop(hb, ha) for hb in holes_b
+        ):
+            return False
+    return True
+
+
+def polygon_intersects_polygon(a: "Polygon", b: "Polygon") -> bool:
+    """A.intersects(B) (polygon.rs:1180-1220 semantics for the same class)."""
+    if len(a.loops) == 1 and len(b.loops) == 1:
+        return loop_intersects_loop(a.loops[0], b.loops[0])
+    sa, holes_a = _poly_shells_holes(a)
+    sb, holes_b = _poly_shells_holes(b)
+    if not loop_intersects_loop(sa, sb):
+        return False
+    # Disjoint despite intersecting shells only if one region sits wholly
+    # inside a hole of the other.
+    if any(loop_contains_loop(ha, sb) for ha in holes_a):
+        return False
+    if any(loop_contains_loop(hb, sa) for hb in holes_b):
+        return False
+    return True
