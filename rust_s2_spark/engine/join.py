@@ -38,6 +38,7 @@ __all__ = [
     "cap_regions_df",
     "rect_regions_df",
     "covering_join",
+    "covering_range_join",
     "cap_join",
     "rect_join",
     "salted",
@@ -182,6 +183,27 @@ def covering_join(
     else:
         out = d.join(cov, on=F.col("_join_cell") == F.col("cover_cell"))
     return out.drop("_join_cell")
+
+
+def covering_range_join(
+    docs: DataFrame,
+    coverings: DataFrame,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Alternate plan shape: leaf-range join (cellid.rs:442-459 predicate).
+
+    ``range_min <= leaf <= range_max`` over a *broadcast* covering table —
+    Spark executes this as BroadcastNestedLoopJoin, which is fine only for
+    tiny covering sets (ad-hoc queries). The production path is
+    ``covering_join`` (equi-join on ancestor bit-ops); this variant exists
+    because the range form is the natural expression of the same semantics
+    and a useful cross-check (tests assert both produce identical rows).
+    """
+    leaf = F.col(cell_col)
+    return docs.join(
+        F.broadcast(coverings),
+        on=(leaf >= F.col("range_min")) & (leaf <= F.col("range_max")),
+    )
 
 
 def salted(df: DataFrame, key_col: str, n_salt: int, out: str = "salt") -> DataFrame:

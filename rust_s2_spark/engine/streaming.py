@@ -84,3 +84,102 @@ def run_stream_to_memory(
     )
     q.awaitTermination(120)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization over the doc stream
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 30
+
+_SESSION_OUT = (
+    "user_id long, session_no long, n_events long, start_sec long, end_sec long"
+)
+_SESSION_STATE = "last_sec long, sess_no long, n_events long, start_sec long"
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: emits one row per *closed* session.
+
+    State = (last event second, session ordinal, events in open session,
+    open-session start). A gap > SESSION_GAP_SEC closes the session.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_sec, sess_no, n_events, start_sec = state.get
+    else:
+        last_sec, sess_no, n_events, start_sec = None, 0, 0, None
+    out = []
+    for pdf in pdf_iter:
+        for sec in sorted(pdf["sec"].tolist()):
+            if last_sec is None:
+                sess_no, n_events, start_sec = 1, 1, sec
+            elif sec - last_sec > SESSION_GAP_SEC:
+                out.append((user_id, sess_no, n_events, start_sec, last_sec))
+                sess_no, n_events, start_sec = sess_no + 1, 1, sec
+            else:
+                n_events += 1
+            last_sec = sec
+    state.update((last_sec, sess_no, n_events, start_sec))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_no", "n_events", "start_sec", "end_sec"]
+        )
+
+
+def stream_sessions(spark: SparkSession, rows_per_batch: int = 500) -> DataFrame:
+    """Deterministic event stream -> stateful sessionization.
+
+    Events derive (user_id, event-second) from the rate-micro-batch value by
+    pure arithmetic; per-user inter-event gaps alternate below/above the
+    session gap so sessions close deterministically across micro-batches.
+    """
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    user = F.col("value") % 20
+    seq = F.expr("value DIV 20")
+    # monotonic event time with a 57 s jump every 3rd event (> session gap);
+    # the state kernel assumes in-order arrival per key — real deployments
+    # bound disorder upstream with a watermark + sort within micro-batch
+    sec = seq * 17 + F.expr("(value DIV 20) DIV 3") * 40
+    ev = src.select(user.alias("user_id"), sec.cast("long").alias("sec"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def batch_sessions_reference(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Same sessionization computed in batch with window functions —
+    the oracle for the stateful streaming operator (closed sessions only)."""
+    from pyspark.sql import Window
+
+    df = spark.range(n_rows).select(
+        (F.col("id") % 20).alias("user_id"),
+        (F.expr("id DIV 20") * 17 + F.expr("(id DIV 20) DIV 3") * 40).cast("long").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    lag = F.lag("sec").over(w)
+    new_sess = F.when(lag.isNull() | (F.col("sec") - lag > SESSION_GAP_SEC), 1).otherwise(0)
+    df = df.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = df.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+    )
+    # closed sessions only (the stream never flushes the open one)
+    last = agg.groupBy("user_id").agg(F.max("session_no").alias("last_no"))
+    return agg.join(last, "user_id").where(F.col("session_no") < F.col("last_no")).drop(
+        "last_no"
+    )

@@ -97,3 +97,15 @@ def test_rect_join_matches_brute_force(spark, docs_tiled):
     # the dateline rect must actually have matches on both sides of ±180
     dl = [d for (r, d) in got if r == "dateline"]
     assert len(dl) > 0
+
+
+def test_range_join_matches_equi_join(spark, docs_tiled):
+    """The range-form join (range_min <= leaf <= range_max) and the
+    per-level ancestor equi-join are the same relation."""
+    _, coverings = join.cap_regions_df(spark, CAPS)
+    equi = join.covering_join(docs_tiled, coverings)
+    rng = join.covering_range_join(docs_tiled, coverings)
+    a = {(r["region_id"], r["doc_id"], r["cover_cell"]) for r in equi.collect()}
+    b = {(r["region_id"], r["doc_id"], r["cover_cell"]) for r in rng.collect()}
+    assert a == b
+    assert len(a) > 0

@@ -48,3 +48,33 @@ def test_streamed_docs_identical_to_batch(spark):
     assert n >= 200
     batch = ingest.synth_docs(spark, n, partitions=2).orderBy("doc_id").collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """applyInPandasWithState sessions across MULTIPLE micro-batches must
+    equal the batch window-function reference on the consumed prefix."""
+    import time
+
+    from rust_s2_spark.engine.streaming import batch_sessions_reference, stream_sessions
+
+    q = (
+        stream_sessions(spark, rows_per_batch=200)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    consumed = sum(p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0)
+    assert consumed >= 800, "needed multiple micro-batches to exercise state"
+    got = {tuple(r) for r in spark.table("sess_test").collect()}
+    want = {tuple(r) for r in batch_sessions_reference(spark, consumed).collect()}
+    assert got, "no closed sessions emitted"
+    assert got == want
