@@ -601,6 +601,39 @@ class Loop:
         """Girard-style: area = 2*pi - turning_angle for a CCW loop."""
         return 2 * PI - self.turning_angle()
 
+    def is_normalized(self) -> bool:
+        """Area at most 2*pi (loop.rs:1660-1676)."""
+        if self.bound.lng.length < PI:
+            return True
+        # hemispheres evaluate turning_angle to exactly -2*pi with no error;
+        # allow the canonical error bound
+        n = len(self.vertices)
+        max_error = 1e-14 * max(n, 1) + 1e-12
+        return self.turning_angle() >= -max_error
+
+    def invert(self) -> "Loop":
+        """Complement region: reversed vertex order (loop.rs:1684-1716)."""
+        if len(self.vertices) == 1:
+            return Loop.empty() if self.origin_inside else Loop.full()
+        return Loop(self.vertices[::-1].copy())
+
+    def normalize(self) -> "Loop":
+        """Self, or the inverse, whichever encloses at most 2*pi."""
+        return self if self.is_normalized() else self.invert()
+
+    def canonical_first_vertex(self) -> tuple[int, int]:
+        """(first_index, direction) giving the canonical rotation/orientation
+        (loop.rs:1724-1741): lexicographically smallest edge comes first,
+        forward. Returns (i, 1) or (i + n, -1)."""
+        n = len(self.vertices)
+        first = 0
+        for i in range(n):
+            if tuple(self.vertices[i]) < tuple(self.vertices[first]):
+                first = i
+        if tuple(self.vertices[(first + 1) % n]) < tuple(self.vertices[(first - 1) % n]):
+            return first, 1
+        return first + n, -1
+
     # -- Region interface for the coverer --
 
     def cap_bound(self) -> Cap:
@@ -682,6 +715,14 @@ class Polygon:
         for lp in self.loops:
             b = _rect_union(b, lp.bound)
         return b
+
+    def area(self) -> float:
+        """Interior area: shell area minus hole areas (polygon.rs:1028-1045;
+        parity model: loops[0] shell, rest holes)."""
+        total = self.loops[0].signed_area()
+        for lp in self.loops[1:]:
+            total -= lp.signed_area()
+        return total
 
     def cell_union_bound(self) -> list[int]:
         return self.rect_bound().cell_union_bound()

@@ -96,3 +96,63 @@ def test_union_is_sphere_rejected():
     near, far = L("near_hemi"), L("far_hemi")
     assert not loop_contains_loop(near, far)
     assert not loop_contains_loop(far, near)
+
+
+def test_normalize_invert():
+    import math
+
+    from tests.test_pip import L
+
+    nh = L("north_hemi")
+    inv = nh.invert()
+    # complement flips containment everywhere
+    import numpy as np
+
+    pts = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    for p in pts:
+        assert nh.contains_point(p) != inv.contains_point(p)
+    # small_necw is a CW ring enclosing most of the sphere -> not normalized
+    sn = L("small_necw")
+    assert not sn.is_normalized()
+    assert sn.normalize().is_normalized()
+    assert nh.is_normalized()  # hemisphere counts as normalized
+    # invert twice round-trips the vertex ring
+    assert np.array_equal(nh.invert().invert().vertices, nh.vertices)
+    # empty/full specials
+    assert Loop.empty().invert().origin_inside
+    assert not Loop.full().invert().origin_inside
+
+
+def test_canonical_first_vertex():
+    import numpy as np
+
+    from tests.test_pip import L
+
+    base = L("candy_cane")
+    f0, d0 = base.canonical_first_vertex()
+    n = len(base.vertices)
+
+    def canon_seq(lp):
+        f, d = lp.canonical_first_vertex()
+        m = len(lp.vertices)
+        return [tuple(lp.vertices[(f + k * d) % m]) for k in range(m)]
+
+    want = canon_seq(base)
+    # rotation-invariant
+    for rot in range(1, n):
+        assert canon_seq(Loop(np.roll(base.vertices, -rot, axis=0))) == want
+
+
+def test_polygon_area():
+    import math
+
+    from rust_s2_spark.kernel.pip import Polygon
+
+    shell = Loop.from_latlng_text("0:0, 0:30, 30:30, 30:0")
+    hole = Loop.from_latlng_text("10:10, 10:20, 20:20, 20:10")
+    annulus = Polygon([shell, hole])
+    a = annulus.area()
+    assert 0 < a < shell.signed_area()
+    assert abs(a - (shell.signed_area() - hole.signed_area())) < 1e-15
+    # whole-sphere sanity: area of loop + complement = 4*pi
+    assert abs(shell.signed_area() + shell.invert().signed_area() - 4 * math.pi) < 1e-9
