@@ -641,6 +641,7 @@ ORACLES = {
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_knn": o_knn,
+    "s2_knn_cellring": o_knn,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "dedup_exact": o_dedup_exact,

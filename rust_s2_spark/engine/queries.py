@@ -893,6 +893,23 @@ def q_cap_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN: cap-covering candidate pruning + exact refine.
+
+    Must return exactly the brute-force s2_knn rows (same oracle) — the
+    covering search is exact, not approximate (see engine/knn.py).
+    """
+    from .knn import knn_cellring
+
+    docs = events_geo(spark, sf_dir)
+    qs = []
+    for qid, lat, lng in specs.KNN_QUERIES:
+        la, ln = math.radians(lat), math.radians(lng)
+        qs.append((qid, math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la)))
+    out = knn_cellring(spark, docs, qs, specs.KNN_K, id_col="event_id")
+    return out.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -906,6 +923,7 @@ QUERIES = {
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_knn": q_knn,
+    "s2_knn_cellring": q_knn_cellring,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "dedup_exact": q_dedup_exact,
