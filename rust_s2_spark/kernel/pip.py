@@ -942,3 +942,128 @@ def polygon_intersects_polygon(a: "Polygon", b: "Polygon") -> bool:
     if any(loop_contains_loop(hb, sa) for hb in holes_b):
         return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Robust edge intersection point (edge_crossings.rs:159-395)
+# ---------------------------------------------------------------------------
+
+INTERSECTION_ERROR = 8.0 * DBL_EPSILON
+INTERSECTION_MERGE_RADIUS = 2.0 * INTERSECTION_ERROR
+_EPS14 = 1e-14  # consts.rs:8 (the reference's coarse epsilon)
+# NOTE: with the reference's EPSILON=1e-14 substituted where canonical S2
+# uses dblEpsilon, the stable-path acceptance gate (INTERSECTION_ERROR -
+# EPSILON) is negative, so the stable path never accepts and every call
+# falls through to the exact path — slower but exact. We keep the
+# reference's constants for parity; the exact tier is genuinely exact here
+# (Fraction), unlike the reference's PreciseVector stub paths.
+
+
+def _projection_dist(x, a_norm, a_norm_len: float, a0, a1):
+    """(signed distance of x to plane(a0,a1) scaled by |a_norm|, error bound)
+    — edge_crossings.rs:218-257."""
+    x0 = x - a0
+    x1 = x - a1
+    x0d2 = float(x0 @ x0)
+    x1d2 = float(x1 @ x1)
+    if x0d2 < x1d2 or (x0d2 == x1d2 and tuple(x0) < tuple(x1)):
+        dist = math.sqrt(x0d2)
+        proj = float(x0 @ a_norm)
+    else:
+        dist = math.sqrt(x1d2)
+        proj = float(x1 @ a_norm)
+    bound = (
+        ((3.5 + 2.0 * math.sqrt(3.0)) * a_norm_len + 32.0 * math.sqrt(3.0) * DBL_EPSILON)
+        * dist
+        + 1.5 * abs(proj)
+    ) * _EPS14
+    return proj, bound
+
+
+def _compare_edges(a0, a1, b0, b1) -> bool:
+    if tuple(a1) < tuple(a0):
+        a0, a1 = a1, a0
+    if tuple(b1) < tuple(b0):
+        b0, b1 = b1, b0
+    return tuple(a0) < tuple(b0) or (np.array_equal(a0, b0) and tuple(b0) < tuple(b1))
+
+
+def _intersection_stable_sorted(a0, a1, b0, b1):
+    """edge_crossings.rs:303-347; returns unit point or None."""
+    a_norm = np.cross(a0 - a1, a0 + a1)
+    a_norm_len = float(np.linalg.norm(a_norm))
+    b_len = float(np.linalg.norm(b1 - b0))
+    b0_dist, b0_err = _projection_dist(b0, a_norm, a_norm_len, a0, a1)
+    b1_dist, b1_err = _projection_dist(b1, a_norm, a_norm_len, a0, a1)
+    dist_sum = abs(b0_dist - b1_dist)
+    err_sum = b0_err + b1_err
+    if dist_sum <= err_sum:
+        return None
+    x = b1 * b0_dist - b0 * b1_dist
+    err = (
+        b_len * abs(b0_dist * b1_err - b1_dist * b0_err) / (dist_sum - err_sum)
+        + 2.0 * dist_sum * DBL_EPSILON
+    )
+    x_len = float(np.linalg.norm(x))
+    if err > (INTERSECTION_ERROR - _EPS14) * x_len:
+        return None
+    return x / x_len
+
+
+def _intersection_stable(a0, a1, b0, b1):
+    a_len2 = float((a1 - a0) @ (a1 - a0))
+    b_len2 = float((b1 - b0) @ (b1 - b0))
+    if a_len2 < b_len2 or (a_len2 == b_len2 and _compare_edges(a0, a1, b0, b1)):
+        return _intersection_stable_sorted(b0, b1, a0, a1)
+    return _intersection_stable_sorted(a0, a1, b0, b1)
+
+
+def _fcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def intersection_exact(a0, a1, b0, b1) -> np.ndarray:
+    """Exact-arithmetic intersection direction (edge_crossings.rs:354-395);
+    result rounded to doubles, sign NOT fixed. Collinear edges return the
+    lexicographically-smallest interior endpoint."""
+    fa0, fa1 = _frac(a0), _frac(a1)
+    fb0, fb1 = _frac(b0), _frac(b1)
+    a_norm_f = _fcross(fa0, fa1)
+    b_norm_f = _fcross(fb0, fb1)
+    x_f = _fcross(a_norm_f, b_norm_f)
+    x = np.array([float(v) for v in x_f])
+    if not np.any(x):
+        # exactly collinear (edge_crossings.rs:373-392)
+        a_norm = np.array([float(v) for v in a_norm_f])
+        b_norm = np.array([float(v) for v in b_norm_f])
+        best = None
+        for p, (c0, c1, nrm) in (
+            (a0, (b0, b1, b_norm)),
+            (a1, (b0, b1, b_norm)),
+            (b0, (a0, a1, a_norm)),
+            (b1, (a0, a1, a_norm)),
+        ):
+            if ordered_ccw(c0, p, c1, nrm) and (best is None or tuple(p) < tuple(best)):
+                best = p
+        return np.asarray(best if best is not None else a0, dtype=np.float64)
+    return x / np.linalg.norm(x)
+
+
+def edge_intersection(a0, a1, b0, b1) -> np.ndarray:
+    """Robust intersection point of crossing edges AB and CD
+    (edge_crossings.rs:159-190): stable path, exact fallback, then the
+    sign fix that makes the result invariant under edge swap/reversal."""
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    pt = _intersection_stable(a0, a1, b0, b1)
+    if pt is None:
+        pt = intersection_exact(a0, a1, b0, b1)
+    if float(pt @ (a0 + a1 + b0 + b1)) < 0.0:
+        pt = -pt
+    return pt
