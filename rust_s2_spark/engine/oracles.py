@@ -632,12 +632,35 @@ SELECT event_id FROM p WHERE NOT {_cap_exists_clause()}
 """
 
 
+def o_cap_tile_rollup() -> str:
+    vals = ", ".join(
+        f"('{rid}', {specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
+        for rid, cx, cy, cz, r2 in specs.cap_rows()
+    )
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")},
+pxyz AS ({_XYZ.format(id="event_id", src="pts")}),
+hits AS (
+  SELECT c.region_id, l.event_id, l.face, l.pos
+  FROM leaf l
+  JOIN pxyz p ON l.event_id = p.event_id
+  JOIN (VALUES {vals}) c(region_id, cx, cy, cz, r2)
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+       + (p.z - c.cz) * (p.z - c.cz) <= c.r2
+)
+SELECT region_id, {_parent_from_pos(8)} AS tile, count(*) AS n_docs
+FROM hits GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
     "s2_cap_join": o_cap_join,
     "s2_cap_semijoin": o_cap_semijoin,
     "s2_cap_antijoin": o_cap_antijoin,
+    "s2_cap_tile_rollup": o_cap_tile_rollup,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_knn": o_knn,

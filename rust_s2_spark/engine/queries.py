@@ -910,6 +910,17 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
 
 
+def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline in one oracled query: spatial join -> level-8 tile ->
+    per-(region, tile) counts. The oracle recomputes the tile through the
+    recursive-CTE Hilbert encoder and arithmetic parent truncation."""
+    docs = events_geo(spark, sf_dir)
+    regions, coverings, levels = _cap_setup(spark)
+    hits = cap_join(docs, regions, coverings, id_col="event_id", levels=levels)
+    tiled = hits.withColumn("tile", tiling.parent_col("cell_id", 8))
+    return tiled.groupBy("region_id", "tile").agg(F.count("*").alias("n_docs"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -920,6 +931,7 @@ QUERIES = {
     "s2_cap_join": q_cap_join,
     "s2_cap_semijoin": q_cap_semijoin,
     "s2_cap_antijoin": q_cap_antijoin,
+    "s2_cap_tile_rollup": q_cap_tile_rollup,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_knn": q_knn,

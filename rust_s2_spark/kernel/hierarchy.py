@@ -62,7 +62,8 @@ def _u64(cid):
 
 def lsb(cid):
     cid = _u64(cid)
-    return cid & (~cid + _U(1))
+    with np.errstate(over="ignore"):  # ~0 + 1 wraps (benign, correct result)
+        return cid & (~cid + _U(1))
 
 
 def lsb_for_level(lvl) -> np.uint64:
