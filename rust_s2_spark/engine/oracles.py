@@ -534,8 +534,8 @@ FROM c GROUP BY 1, 2
 """
 
 
-def o_segment_distance() -> str:
-    """Same interior/vertex chord-distance formula, generated per segment."""
+def _segment_chord_exprs() -> str:
+    """least(...) of the per-segment interior/vertex chord2 formulas."""
     from .specs import polyline_segments_xyz
 
     seg_exprs = []
@@ -572,6 +572,12 @@ def o_segment_distance() -> str:
     best = seg_exprs[0]
     for e in seg_exprs[1:]:
         best = f"least({best}, {e})"
+    return best
+
+
+def o_segment_distance() -> str:
+    """Same interior/vertex chord-distance formula, generated per segment."""
+    best = _segment_chord_exprs()
     xyz = _XYZ.format(id="event_id", src="pts")
     return f"""
 WITH pts AS ({_latlng_cte()}),
@@ -654,6 +660,23 @@ FROM hits GROUP BY 1, 2
 """
 
 
+def o_polyline_buffer_join() -> str:
+    """Brute-force: min per-segment chord2 <= chord2(buffer)."""
+    import math
+
+    from .specs import POLYLINE_BUFFER_DEG
+
+    best = _segment_chord_exprs()
+    s = math.sin(0.5 * math.radians(POLYLINE_BUFFER_DEG))
+    thresh = 4.0 * s * s
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT event_id FROM p WHERE least({best}, 4.0) <= {specs.f(thresh)}
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
@@ -667,6 +690,7 @@ ORACLES = {
     "s2_knn_cellring": o_knn,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
+    "s2_polyline_buffer_join": o_polyline_buffer_join,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,
     "lang_id": o_lang_id,

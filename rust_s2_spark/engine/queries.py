@@ -921,6 +921,65 @@ def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("region_id", "tile").agg(F.count("*").alias("n_docs"))
 
 
+@functools.cache
+def _polyline_buffer_setup():
+    """Covering cells for caps that enclose each buffered segment.
+
+    Per segment: cap at the midpoint with radius = half the segment angle +
+    the buffer — a superset of the buffered segment, so the covering join
+    is a complete prefilter; the refine is the exact edge-distance kernel.
+    """
+    coverer = RegionCoverer(max_cells=12)
+    buf = math.radians(specs.POLYLINE_BUFFER_DEG)
+    cov_rows = []
+    for i, (a, b) in enumerate(specs.polyline_segments_xyz()):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        mid = a + b
+        mid = mid / np.linalg.norm(mid)
+        half = 0.5 * math.atan2(np.linalg.norm(np.cross(a, b)), float(a @ b))
+        s = math.sin(0.5 * min(half + buf, math.pi))
+        cap = Cap(mid, 4.0 * s * s)
+        cov_rows.extend(_cov_rows_for(f"seg{i}", coverer.covering(cap).ids))
+    return tuple(cov_rows)
+
+
+def q_polyline_buffer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance (buffer) join: events within POLYLINE_BUFFER_DEG of
+    the polyline — covering prefilter + exact segment-chord refine; the
+    oracle brute-forces the same chord formula over all events."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel import edgeutil as eu
+
+    docs = events_geo(spark, sf_dir)
+    cov_rows = _polyline_buffer_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    cand = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    # a point can fall in several segments' coverings -> dedupe before refine
+    cand = cand.select("event_id", "lat", "lng").dropDuplicates(["event_id"])
+
+    segs = [(np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()]
+    bc = spark.sparkContext.broadcast(segs)
+    s = math.sin(0.5 * math.radians(specs.POLYLINE_BUFFER_DEG))
+    thresh = 4.0 * s * s
+
+    @pandas_udf("boolean")
+    def _within(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        xs = np.stack([cl * np.cos(ln), cl * np.sin(ln), np.sin(la)], axis=1)
+        best = None
+        for a, b in bc.value:
+            d = eu.chord2_point_to_edge(xs, a, b)
+            best = d if best is None else np.minimum(best, d)
+        return pd.Series(best <= thresh)
+
+    return cand.where(_within(F.col("lat"), F.col("lng"))).select("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -938,6 +997,7 @@ QUERIES = {
     "s2_knn_cellring": q_knn_cellring,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
+    "s2_polyline_buffer_join": q_polyline_buffer_join,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,

@@ -124,6 +124,9 @@ KNN_K = 5
 POLYLINE = [(35.0, -120.0), (40.0, -100.0), (38.0, -85.0), (42.0, -70.0)]
 
 
+POLYLINE_BUFFER_DEG = 1.5
+
+
 def polyline_segments_xyz() -> list[tuple[tuple[float, float, float], tuple[float, float, float]]]:
     pts = [_unit_xyz(la, ln) for la, ln in POLYLINE]
     return [(pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
