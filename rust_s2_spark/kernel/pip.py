@@ -1067,3 +1067,23 @@ def edge_intersection(a0, a1, b0, b1) -> np.ndarray:
     if float(pt @ (a0 + a1 + b0 + b1)) < 0.0:
         pt = -pt
     return pt
+
+
+def regular_loop(center, radius_rad: float, n_vertices: int) -> "Loop":
+    """Regular n-gon loop of angular radius around center
+    (loop.rs:1299-1312, point.rs:435-465) — the synthetic-polygon generator
+    used by the reference's randomized tests."""
+    center = np.asarray(center, dtype=np.float64)
+    # orthonormal frame with center as +z (point.rs frame semantics)
+    z_ax = center / np.linalg.norm(center)
+    x_ax = _ortho(z_ax)
+    y_ax = np.cross(z_ax, x_ax)
+    z = math.cos(radius_rad)
+    r = math.sin(radius_rad)
+    step = 2.0 * math.pi / n_vertices
+    verts = []
+    for i in range(n_vertices):
+        ang = i * step
+        p = x_ax * (r * math.cos(ang)) + y_ax * (r * math.sin(ang)) + z_ax * z
+        verts.append(p / np.linalg.norm(p))
+    return Loop(np.asarray(verts))

@@ -156,3 +156,35 @@ def test_polygon_area():
     assert abs(a - (shell.signed_area() - hole.signed_area())) < 1e-15
     # whole-sphere sanity: area of loop + complement = 4*pi
     assert abs(shell.signed_area() + shell.invert().signed_area() - 4 * math.pi) < 1e-9
+
+
+def test_regular_loop_properties():
+    import math
+
+    import numpy as np
+
+    from rust_s2_spark.kernel.pip import loop_contains_loop, regular_loop
+    from rust_s2_spark.kernel.region import _latlng_point
+
+    rng = np.random.default_rng(6)
+    for _ in range(20):
+        lat = math.degrees(math.asin(rng.uniform(-0.95, 0.95)))
+        lng = rng.uniform(-180, 180)
+        center = _latlng_point(math.radians(lat), math.radians(lng))
+        radius = math.radians(rng.uniform(2, 40))
+        n = int(rng.integers(3, 24))
+        lp = regular_loop(center, radius, n)
+        # center is inside; antipode is outside
+        assert lp.contains_point(center)
+        assert not lp.contains_point(-center)
+        # every vertex is exactly radius away from the center
+        for v in lp.vertices:
+            d = math.atan2(np.linalg.norm(np.cross(center, v)), float(center @ v))
+            assert abs(d - radius) < 1e-12
+        # CCW orientation: area below hemisphere for radius < pi/2
+        assert 0 < lp.signed_area() < 2 * math.pi
+        # nested regular loops: smaller radius contained in larger
+        inner = regular_loop(center, radius * 0.5, n)
+        assert loop_contains_loop(lp, inner)
+        # its cap bound contains it and the covering join machinery accepts it
+        assert lp.cap_bound().contains_point(center)
