@@ -20,6 +20,7 @@ from .constants import DBL_EPSILON, MAX_LEVEL, MIN_WIDTH
 from . import hierarchy, hilbert, stuv
 
 PI = math.pi
+DBL_EPSILON_C = 2.220446049250313e-16
 
 # ---------------------------------------------------------------------------
 # r1::Interval — closed interval on the line (r1/interval.rs:27-40)
@@ -559,6 +560,33 @@ class Cap:
     def area(self) -> float:
         """Surface area = 2*pi*height (cap.rs)."""
         return 2.0 * np.pi * max(0.0, self.height())
+
+    @staticmethod
+    def from_center_area(center: np.ndarray, area: float) -> "Cap":
+        """cap.rs:125-127: radius2 = area / pi."""
+        return Cap(np.asarray(center, dtype=np.float64), area / np.pi)
+
+    @staticmethod
+    def from_center_height(center: np.ndarray, height: float) -> "Cap":
+        """cap.rs:118-122: radius2 = 2*height."""
+        return Cap(np.asarray(center, dtype=np.float64), 2.0 * height)
+
+    def add_point(self, p: np.ndarray) -> "Cap":
+        """Grow to include p (cap.rs:485-500)."""
+        p = np.asarray(p, dtype=np.float64)
+        if self.is_empty:
+            return Cap(p.copy(), 0.0)
+        return Cap(self.center.copy(), max(self.radius2, chord2_between(self.center, p)))
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Grow to include the other cap (cap.rs:508-525)."""
+        if self.is_empty:
+            return Cap(other.center.copy(), other.radius2)
+        if other.is_empty:
+            return Cap(self.center.copy(), self.radius2)
+        dist = chord_add(chord2_between(self.center, other.center), other.radius2)
+        dist = dist + DBL_EPSILON_C * dist  # conservative rounding (cap.rs:521)
+        return Cap(self.center.copy(), max(self.radius2, min(dist, 4.0)))
 
     def centroid(self) -> np.ndarray:
         """Area-weighted centroid vector (cap.rs:426-445); empty -> origin."""

@@ -166,3 +166,29 @@ def test_cap_centroid():
     cap = Cap.from_latlng_radius(30.0, 40.0, 35.0)
     total = cap.centroid() + cap.complement().centroid()
     assert np.allclose(total, 0.0, atol=1e-12)
+
+
+def test_cap_add_point_and_cap():
+    import numpy as np
+
+    from rust_s2_spark.kernel.region import Cap, _latlng_point
+
+    c = Cap.empty()
+    p1 = _latlng_point(0.3, 0.4)
+    p2 = _latlng_point(-0.2, 0.9)
+    c = c.add_point(p1)
+    assert c.contains_point(p1) and c.radius2 == 0.0
+    c = c.add_point(p2)
+    assert c.contains_point(p1) and c.contains_point(p2)
+    # add_cap: containment of the added cap
+    a = Cap.from_latlng_radius(10, 20, 3.0)
+    b = Cap.from_latlng_radius(12, 25, 2.0)
+    u = a.add_cap(b)
+    assert u.contains_cap(a) and u.contains_cap(b)
+    assert Cap.empty().add_cap(b).radius2 == b.radius2
+    assert a.add_cap(Cap.empty()).radius2 == a.radius2
+    # constructors
+    h = Cap.from_center_height(np.array([0.0, 0.0, 1.0]), 1.0)
+    assert abs(h.area() - 2 * np.pi) < 1e-12
+    ar = Cap.from_center_area(np.array([0.0, 0.0, 1.0]), np.pi)
+    assert abs(ar.area() - np.pi) < 1e-12
