@@ -250,8 +250,12 @@ def cap_join(
     """Exact cap-containment spatial join: covering prefilter + chord refine.
 
     Output: one row per (region_id, doc) pair with the doc inside the cap.
-    Coverings may overlap across levels for one region -> dedupe on
-    (region_id, id_col).
+
+    Precondition: `coverings` must be a *normalized* (disjoint) CellUnion per
+    region — as produced by RegionCoverer / CellUnion.normalize. Overlapping
+    coverings would yield duplicate match rows; no defensive dedupe is done
+    here because the normalized covering makes it a per-doc single match and
+    the dedupe would add a full shuffle.
     """
     coarse = covering_join(
         docs_tiled, coverings, cell_col, broadcast_regions, salt, id_col=id_col, levels=levels

@@ -524,8 +524,10 @@ s AS (
   FROM o
 ),
 c AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  -- CAST: DuckDB's windowed sum() yields HUGEINT, which value-hashes
+  -- differently from Spark's BIGINT even when values are equal.
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
   FROM s
 )
 SELECT user_id, sess_no, count(*) AS n_events,

@@ -112,8 +112,12 @@ def _sessionize_fn(key, pdf_iter, state):
     else:
         last_sec, sess_no, n_events, start_sec = None, 0, 0, None
     out = []
-    for pdf in pdf_iter:
-        for sec in sorted(pdf["sec"].tolist()):
+    # Concatenate all Arrow chunks before sorting: a key's rows may span
+    # chunks, and per-chunk sorting would miscount across chunk boundaries.
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        allsec = pd.concat(chunks, ignore_index=True)["sec"].sort_values()
+        for sec in allsec.tolist():
             if last_sec is None:
                 sess_no, n_events, start_sec = 1, 1, sec
             elif sec - last_sec > SESSION_GAP_SEC:

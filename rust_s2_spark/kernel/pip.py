@@ -605,10 +605,10 @@ class Loop:
         """Area at most 2*pi (loop.rs:1660-1676)."""
         if self.bound.lng.length < PI:
             return True
-        # hemispheres evaluate turning_angle to exactly -2*pi with no error;
-        # allow the canonical error bound
+        # turning_angle_max_error (loop.rs:1672): ~= 11.25 * DBL_EPSILON per
+        # vertex — the reference's bound, much tighter than an ad-hoc slack.
         n = len(self.vertices)
-        max_error = 1e-14 * max(n, 1) + 1e-12
+        max_error = 11.25 * 2.220446049250313e-16 * max(n, 1)
         return self.turning_angle() >= -max_error
 
     def invert(self) -> "Loop":
@@ -816,7 +816,10 @@ def loop_contains_loop(a: "Loop", b: "Loop") -> bool:
     )
     if crossed:
         return False
-    if not found_shared and _edges_cross(a, b):
+    # Edge-crossing sweep runs unconditionally (loop.rs:978 has_crossing_relation):
+    # loops can share a vertex with non-crossing wedges there yet have properly
+    # crossing edges elsewhere.
+    if _edges_cross(a, b):
         return False
     if found_shared:
         return True
@@ -844,7 +847,8 @@ def loop_intersects_loop(a: "Loop", b: "Loop") -> bool:
     found_shared, crossed = _shared_vertex_scan(a, b, wedge_intersects)
     if crossed:
         return True
-    if not found_shared and _edges_cross(a, b):
+    # Unconditional sweep — see loop_contains_loop note (loop.rs:978).
+    if _edges_cross(a, b):
         return True
     if found_shared:
         return False
@@ -896,7 +900,8 @@ def loop_compare_boundary(a: "Loop", b: "Loop", b_is_hole: bool = False) -> int:
                     excludes_edge = True
                 if contains_edge and excludes_edge:
                     return 0
-    if not found_shared and _edges_cross(a, b):
+    # Unconditional sweep — see loop_contains_loop note (loop.rs:978).
+    if _edges_cross(a, b):
         return 0
     if found_shared:
         return 1 if contains_edge else -1

@@ -188,3 +188,24 @@ def test_regular_loop_properties():
         assert loop_contains_loop(lp, inner)
         # its cap bound contains it and the covering join machinery accepts it
         assert lp.cap_bound().contains_point(center)
+
+
+def test_shared_vertex_crossing_elsewhere():
+    # a and b share vertex 0:0 with non-crossing wedges there, but b's far
+    # edge properly crosses a's boundary (bulges outside through the top).
+    # Regression: the edge-crossing sweep must run even when a shared vertex
+    # was found (loop.rs:978 checks crossings unconditionally).
+    a = Loop.from_latlng_text("0:0, 0:20, 20:20, 20:0")
+    # contains path: b's wedge at 0:0 is inside a's, but b pokes out the top.
+    b = Loop.from_latlng_text("0:0, 5:10, 30:10")
+    assert loop_intersects_loop(a, b)
+    assert loop_intersects_loop(b, a)
+    assert not loop_contains_loop(a, b)
+    assert not loop_contains_loop(b, a)
+    # intersects path: c's wedge at 0:0 lies outside a (both neighbors below
+    # the equator edge) yet its middle lobe crosses straight through a.
+    c = Loop.from_latlng_text("0:0, -10:5, 30:10, -10:15")
+    assert loop_intersects_loop(a, c)
+    assert loop_intersects_loop(c, a)
+    assert not loop_contains_loop(a, c)
+    assert not loop_contains_loop(c, a)
