@@ -679,6 +679,58 @@ SELECT event_id FROM p WHERE least({best}, 4.0) <= {specs.f(thresh)}
 """
 
 
+def o_minhash_lsh() -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline (q_minhash_lsh):
+    word-3gram -> char-fold hash -> 128 affine min-hashes -> 16 banded
+    signatures -> band self-join -> exact estimate.  All integer math, so
+    candidate pairs and estimates match Spark bit-for-bit."""
+    n_perm, bands, rows_per = 128, 16, 8
+    fold = _CHAR_FOLD.format(col="g")
+    mins = ", ".join(
+        f"min((gh * {2 * i + 1} + {i * 7919 + 1}) % {specs.FP_MOD}) AS m{i}"
+        for i in range(n_perm)
+    )
+    band_selects = []
+    for bnd in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(m{bnd * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band_idx, md5({parts}) AS bk FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    # balanced sum tree: a left-deep 128-term chain trips DuckDB's binder
+    # recursion limit (max depth 128)
+    terms = [f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(n_perm)]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    est = terms[0]
+    return f"""
+WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
+),
+gh AS (SELECT doc_id, {fold} AS gh FROM grams),
+sig AS (SELECT doc_id, {mins} FROM gh GROUP BY 1),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bk = b.bk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(CAST({est} AS DOUBLE) / {n_perm}, 6) AS est_sim
+FROM cand
+JOIN (SELECT doc_id AS doc_a, * EXCLUDE (doc_id) FROM sig) sa USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, * EXCLUDE (doc_id) FROM sig) sb USING (doc_b)
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
@@ -698,6 +750,7 @@ ORACLES = {
     "lang_id": o_lang_id,
     "fingerprint": o_fingerprint,
     "ngram_jaccard": o_ngram_jaccard,
+    "minhash_lsh": o_minhash_lsh,
     "simhash": o_simhash,
     "ann_cosine": o_ann_cosine,
     "embed_dedup": o_embed_dedup,
@@ -710,8 +763,8 @@ ORACLES = {
     "events_hourly": o_events_hourly,
     "sessionize": o_sessionize,
 }
-# "minhash_lsh" is intentionally absent: LSH banding is approximate by design
-# (rows-only check); its exact counterpart is ngram_jaccard.
+# "ann_ivf" is the only rows-only query left: its probe set is approximate by
+# design; recall vs the exact ann_cosine oracle is gated in tests instead.
 
 
 def oracle_sql() -> dict[str, str]:

@@ -454,7 +454,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (approximate; rows-only check).
+    """MinHash-LSH near-dup candidates (fully oracled: every stage is
+    deterministic integer/string math DuckDB replays — see o_minhash_lsh).
 
     128 permutations via affine hashes of the word-3gram polynomial hash;
     16 bands x 8 rows; banded equi-join yields candidate pairs, then exact
@@ -511,9 +512,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(n_perm):
         t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         est = t if est is None else est + t
+    # plain shuffle joins: the signature table is O(n_docs) x 128 cols and
+    # must never be broadcast at scale; the candidate-pair side is the small
+    # one post-LSH, so AQE is free to broadcast *it* instead.
     out = (
-        cand.join(F.broadcast(siga), "doc_a")
-        .join(F.broadcast(sigb), "doc_b")
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
         .withColumn("est_sim", (est.cast("double") / n_perm))
     )
     return out.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
@@ -854,22 +858,115 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, oracle-checked).
+    """Embedding-cosine near-duplicate pairs — EXACT block-pair join.
 
-    The brute-force exact verifier of the embedding-dedup family; at scale
-    the candidate generation is IVF bucketing (q_ann_ivf).  Threshold from
-    specs so both sides share the literal.
+    Scale design (no crossJoin, no per-pair Python):
+      1. every vector is assigned to its nearest of K centroids (one numpy
+         matmul per Arrow batch — the IVF "home bucket");
+      2. bucket-pair enumeration is pruned by the centroid triangle
+         inequality: pair (i, j) can hold a qualifying vector pair only if
+         d(c_i, c_j) <= R_i + R_j + D with D = sqrt(2 - 2*tau), so the
+         candidate set PROVABLY contains every pair with cos >= tau — the
+         result is exact and the brute-force DuckDB oracle is unchanged;
+      3. each admissible bucket pair becomes one applyInPandas group that
+         accumulates the block-sim matrix dimension-by-dimension in index
+         order — bit-identical to the oracle's sequential fold, but dense
+         numpy instead of O(n^2) rows through a UDF.
+    On clustered data (real near-dup corpora: tau ~0.9) step 2 prunes most
+    bucket pairs; on uniform data it degrades to all K(K+1)/2 pairs but the
+    work is still balanced dense matmuls.  At 100 TB: K ~ n / rows-per-task
+    so each block fits an executor; shuffle volume is O(n * avg bucket
+    degree), never O(n^2).
     """
+    import math
+
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    dot_udf = _seq_dot_udf()
-    # norms once per vector (not per pair) — same fold, same doubles
-    a = a.withColumn("na", dot_udf(F.col("ea"), F.col("ea")))
-    b = b.withColumn("nb", dot_udf(F.col("eb"), F.col("eb")))
-    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    j = j.withColumn("sim", dot_udf(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb")))
-    out = j.where(F.col("sim") >= F.lit(specs.EMBED_DEDUP_TAU))
+    K = 16
+    cent_rows = (
+        emb.where(F.col("vec_id") < K).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast(cents)
+    tau = float(specs.EMBED_DEDUP_TAU)
+    # slack covers float rounding in assignment/radius math (exact-math bound
+    # plus epsilon, never less)
+    big_d = math.sqrt(max(2.0 - 2.0 * tau, 0.0)) + 1e-9
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<bucket:int,hd:double>")
+    def _home(e: pd.Series) -> pd.DataFrame:
+        m = np.array(e.tolist(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ bc.value.T
+        b = np.argmax(sims, axis=1)
+        hd = np.sqrt(np.maximum(2.0 - 2.0 * sims[np.arange(len(m)), b], 0.0))
+        return pd.DataFrame({"bucket": b.astype(np.int32), "hd": hd})
+
+    homes = (
+        emb.select("vec_id", "embedding", _home("embedding").alias("h"))
+        .select("vec_id", "embedding", F.col("h.bucket").alias("bucket"), F.col("h.hd").alias("hd"))
+        .persist()
+    )
+    # per-bucket radii: K rows to the driver (like centroid training)
+    radii = {int(r["bucket"]): float(r["mr"]) for r in homes.groupBy("bucket").agg(F.max("hd").alias("mr")).collect()}
+    cd = np.sqrt(np.maximum(2.0 - 2.0 * (cents @ cents.T), 0.0))
+    pair_rows = []
+    pid = 0
+    for i in range(K):
+        if i not in radii:
+            continue
+        for j in range(i, K):
+            if j not in radii:
+                continue
+            if cd[i, j] <= radii[i] + radii[j] + big_d:
+                pair_rows.append((i, pid, i, j))
+                if j != i:
+                    pair_rows.append((j, pid, i, j))
+                pid += 1
+    pairs_long = spark.createDataFrame(
+        pair_rows, "bucket int, pair_id int, ba int, bb int"
+    )
+    rep = homes.join(F.broadcast(pairs_long), on="bucket")
+
+    def _block_sims(key, pdf):
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        ids_a = pdf.loc[pdf["bucket"] == ba, "vec_id"].to_numpy()
+        ma = np.array(pdf.loc[pdf["bucket"] == ba, "embedding"].tolist(), dtype=np.float64)
+        if ba == bb:
+            ids_b, mb = ids_a, ma
+        else:
+            ids_b = pdf.loc[pdf["bucket"] == bb, "vec_id"].to_numpy()
+            mb = np.array(pdf.loc[pdf["bucket"] == bb, "embedding"].tolist(), dtype=np.float64)
+        if len(ma) == 0 or len(mb) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        # dimension-order accumulation == the oracle's sequential fold,
+        # entry-wise, while staying dense-vectorized across the block
+        acc = np.zeros((len(ma), len(mb)))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(mb))
+        for d in range(ma.shape[1]):
+            acc += np.outer(ma[:, d], mb[:, d])
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+        sim = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        ia, ib = np.nonzero(sim >= tau)
+        id_a, id_b = ids_a[ia], ids_b[ib]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = lo < hi
+        if ba == bb:
+            keep &= id_a < id_b  # upper triangle only: avoid double emission
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "sim": sim[ia[keep], ib[keep]]}
+        )
+
+    out = rep.groupBy("pair_id").applyInPandas(
+        _block_sims, schema="id_a long, id_b long, sim double"
+    )
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 

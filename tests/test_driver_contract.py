@@ -43,7 +43,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert set(os_) <= set(qs)
     # every query is either oracled or a documented approximate op
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"minhash_lsh", "ann_ivf"}
+    assert rows_only == {"ann_ivf"}
 
 
 def test_oracles_are_valid_duckdb(entrymod, duck):
