@@ -63,6 +63,11 @@ def knn_cellring(
     """queries: (query_id, qx, qy, qz) unit vectors.  Returns
     (query_id, id_col, rank, d2) for the exact k nearest docs per query."""
     coverer = RegionCoverer(max_cells=12)
+    # Persist the tiled+projected frame once: the ring search re-scans it
+    # every round (at 100 TB this is the materialized tiled table), and the
+    # InMemoryRelation boundary also stops Catalyst from re-substituting the
+    # pure-Column Hilbert encode into each round's range filters.
+    docs_tiled = docs_tiled.select(id_col, "cell_id", "lat", "lng").persist()
     px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
     py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
     pz = F.sin(F.radians("lat"))

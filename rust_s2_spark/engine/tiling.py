@@ -43,6 +43,21 @@ __all__ = [
 # SparkSession for DDL-type parsing); factories are memoized per process.
 _UDF_CACHE: dict[str, object] = {}
 
+# 6-bit Hilbert LOOKUP_POS (16384 entries) packed big-endian 2-bytes-per-entry
+# into ONE BinaryType literal.  Why binary, not array: a Literal wrapping
+# ArrayData hashes/compares ALL elements every time an optimizer rule
+# canonicalizes the plan (O(16384) per visit — measured ~100 s planning when
+# a filter inlines the encode), while an Array[Byte] literal hash is the JVM
+# identity hash, O(1).  Lookup = substring (byte slice) + hex + conv.
+# 6-bit rounds mean the 30-bit walk needs only 5 rounds instead of 8: the
+# walk's recurrence doubles expression references per round when Catalyst
+# substitutes it (filter/join pushdown), so fewer rounds keep plans sane.
+_LOOKUP_POS6 = bytes(
+    b
+    for v in hilbert._build_lookup_tables(6)[0]
+    for b in int(v).to_bytes(2, "big")
+)
+
 
 def leaf_cellid_udf():
     """(lat_deg, lng_deg) -> leaf CellID as i64 (bit-pattern of the u64 id)."""
@@ -86,9 +101,110 @@ def cellid_to_token_udf():
 
 
 def with_leaf_cellid(
-    df: DataFrame, lat_col: str = "lat", lng_col: str = "lng", out: str = "cell_id"
+    df: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    out: str = "cell_id",
+    use_udf: bool = False,
 ) -> DataFrame:
-    return df.withColumn(out, leaf_cellid_udf()(F.col(lat_col), F.col(lng_col)))
+    """(lat_deg, lng_deg) -> leaf CellID column, PURE Spark Column math.
+
+    Zero Python in the hot path: trig + face/uv/st projection as JVM math,
+    then the 30-bit Hilbert walk as 5 rounds of 6-bit lookups
+    (cellid.rs:135-154 semantics; the canonical kernel uses 8x4-bit — both
+    encode identically by construction, pinned in tests).
+
+    Plan-shape discipline — the part that makes this viable in Catalyst:
+
+    * intermediates (x/y/z, face, u/v, i/j) are STAGED projections so the
+      CASE trees reference attributes, not nested copies (a fully inlined
+      single Column measured a 6.5 MB expression tree: face is referenced
+      5x per uv branch and i/j 3x per walk round, which compounds);
+    * the 16384-entry LOOKUP_POS is ONE BinaryType literal (2 bytes/entry,
+      byte-slice + hex + conv lookup).  Array literals hash all elements on
+      every optimizer canonicalization; a byte[] literal hashes O(1);
+    * the final column carries a value-preserving nondeterministic marker
+      (+ 0 * rand()): CollapseProject and predicate pushdown then treat the
+      encode as a barrier, so downstream filters/derivations reference the
+      attribute instead of re-inlining the whole encode (measured: a filter
+      directly on an inlined encode took ~100 s of rewrite + interpreted
+      fallback).  The value is exactly deterministic, so re-execution is
+      safe; unused-column pruning still removes the encode entirely.
+
+    ``use_udf=True`` keeps the Arrow-UDF variant for A/B runs.
+    """
+    if use_udf:
+        return df.withColumn(out, leaf_cellid_udf()(F.col(lat_col), F.col(lng_col)))
+    lat, lng = F.col(lat_col), F.col(lng_col)
+    P = "__s2_"  # temp-column prefix, dropped at the end
+    lat_r, lng_r = F.radians(lat), F.radians(lng)
+    df = df.withColumns(
+        {
+            P + "x": F.cos(lat_r) * F.cos(lng_r),
+            P + "y": F.cos(lat_r) * F.sin(lng_r),
+            P + "z": F.sin(lat_r),
+        }
+    )
+    x, y, z = F.col(P + "x"), F.col(P + "y"), F.col(P + "z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    f0 = F.when(ax > ay, F.when(ax > az, 0).otherwise(2)).otherwise(
+        F.when(ay > az, 1).otherwise(2)
+    )
+    axis_val = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
+    df = df.withColumn(P + "face", F.when(axis_val < 0, f0 + 3).otherwise(f0).cast("long"))
+    face = F.col(P + "face")
+    df = df.withColumns(
+        {
+            P
+            + "u": F.when(face == 0, y / x)
+            .when(face == 1, -x / y)
+            .when(face == 2, -x / z)
+            .when(face == 3, z / x)
+            .when(face == 4, z / y)
+            .otherwise(-y / z),
+            P
+            + "v": F.when(face == 0, z / x)
+            .when(face == 1, z / y)
+            .when(face == 2, -y / z)
+            .when(face == 3, y / x)
+            .when(face == 4, -x / y)
+            .otherwise(-x / z),
+        }
+    )
+    u, v = F.col(P + "u"), F.col(P + "v")
+    max_size = 1 << MAX_LEVEL
+
+    def _st_to_ij(w: Column) -> Column:
+        st = F.when(w >= 0, 0.5 * F.sqrt(1.0 + 3.0 * w)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * w)
+        )
+        return F.least(
+            F.greatest(F.floor(F.lit(float(max_size)) * st).cast("long"), F.lit(0)),
+            F.lit(max_size - 1),
+        )
+
+    df = df.withColumns({P + "i": _st_to_ij(u), P + "j": _st_to_ij(v)})
+    i, j = F.col(P + "i"), F.col(P + "j")
+    # 5-round Hilbert walk inline over attribute inputs: reference growth is
+    # linear (each round's lookup feeds the cell nibble + next orientation).
+    lut = F.lit(bytearray(_LOOKUP_POS6))
+    n = F.shiftleft(face, POS_BITS - 1)
+    bits = face.bitwiseAND(F.lit(1))  # face & SWAP_MASK
+    for k in range(4, -1, -1):
+        idx = (
+            bits
+            + F.shiftleft(F.shiftright(i, k * 6).bitwiseAND(F.lit(63)), 8)
+            + F.shiftleft(F.shiftright(j, k * 6).bitwiseAND(F.lit(63)), 2)
+        )
+        lk = F.conv(F.hex(F.substring(lut, (idx * 2 + 1).cast("int"), 2)), 16, 10).cast(
+            "long"
+        )
+        n = n.bitwiseOR(F.shiftleft(F.shiftright(lk, 2), k * 12))
+        bits = lk.bitwiseAND(F.lit(3))  # SWAP_MASK | INVERT_MASK
+    cell = F.shiftleft(n, 1).bitwiseOR(F.lit(1))
+    barrier = (F.rand(0) * 0).cast("long")  # value-preserving pushdown barrier
+    df = df.withColumn(out, cell + barrier)
+    return df.drop(*[c for c in df.columns if c.startswith(P)])
 
 
 def _lsb_for_level(level: int) -> int:

@@ -46,15 +46,20 @@ POS_TO_IJ = np.array(
 POS_TO_ORIENTATION = np.array([SWAP_MASK, 0, 0, INVERT_MASK | SWAP_MASK], dtype=np.uint64)
 
 
-def _build_lookup_tables():
-    """Build the 1024-entry encode/decode tables (cellid.rs:916-994)."""
-    size = 1 << (2 * LOOKUP_BITS + 2)
+def _build_lookup_tables(lookup_bits: int = LOOKUP_BITS):
+    """Build the 4^bits*4-entry encode/decode tables (cellid.rs:916-994).
+
+    Parameterized ``lookup_bits``: the kernel uses the canonical 4 (8 rounds);
+    the pure-Column Spark encode uses 6 (5 rounds) to keep the expression
+    recurrence shallow — both produce identical cellids by construction.
+    """
+    size = 1 << (2 * lookup_bits + 2)
     lookup_pos = np.zeros(size, dtype=np.uint64)
     lookup_ij = np.zeros(size, dtype=np.uint64)
 
     def rec(level, i, j, orig_orientation, pos, orientation):
-        if level == LOOKUP_BITS:
-            ij = (i << LOOKUP_BITS) + j
+        if level == lookup_bits:
+            ij = (i << lookup_bits) + j
             lookup_pos[(ij << 2) + orig_orientation] = (pos << 2) + orientation
             lookup_ij[(pos << 2) + orig_orientation] = (ij << 2) + orientation
             return

@@ -105,3 +105,20 @@ def test_span_invariant(spark):
     )
     with pytest.raises(AssertionError):
         ingest.assert_span_invariant(docs, corrupted)
+
+
+def test_column_encode_bitmatch_udf_on_fixture(spark):
+    """The pure-Column Hilbert encode (default path) must be bit-identical to
+    the Arrow-UDF/numpy kernel on the full sf0.001 events fixture."""
+    from rust_s2_spark.engine.queries import events_geo
+
+    geo = events_geo(spark, "/root/testdata/sf0.001").drop("cell_id")
+    col_df = tiling.with_leaf_cellid(geo, out="c").select("event_id", "c").toPandas()
+    udf_df = (
+        tiling.with_leaf_cellid(geo, out="c", use_udf=True)
+        .select("event_id", "c")
+        .toPandas()
+    )
+    merged = col_df.merge(udf_df, on="event_id", suffixes=("_col", "_udf"))
+    assert len(merged) == len(col_df) == 1000
+    assert (merged["c_col"] == merged["c_udf"]).all()
