@@ -679,6 +679,143 @@ SELECT event_id FROM p WHERE least({best}, 4.0) <= {specs.f(thresh)}
 """
 
 
+def _nested_ring_tests() -> tuple[list[str], str]:
+    """Per-ring convex edge-sign inside tests + the all-edges margin test
+    for the nested polygon (independent re-derivation from the ring
+    vertices, mirroring o_pip_join's method)."""
+    insides = []
+    margins = []
+    for ring in specs.NESTED_RINGS:
+        verts = specs.polygon_vertices_xyz(ring)
+        n = len(verts)
+        dets = []
+        for k in range(n):
+            a, b = verts[k], verts[(k + 1) % n]
+            cx = a[1] * b[2] - a[2] * b[1]
+            cy = a[2] * b[0] - a[0] * b[2]
+            cz = a[0] * b[1] - a[1] * b[0]
+            d = f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+            dets.append(d)
+            margins.append(f"abs({d}) > {specs.f(specs.PIP_MARGIN)}")
+        insides.append("(" + " AND ".join(f"{d} > 0" for d in dets) + ")")
+    return insides, " AND ".join(margins)
+
+
+def o_poly_nested_join() -> str:
+    xyz = _XYZ.format(id="event_id", src="pts")
+    insides, margin = _nested_ring_tests()
+    parity = " + ".join(f"(CASE WHEN {i} THEN 1 ELSE 0 END)" for i in insides)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT '{specs.NESTED_POLYGON_ID}' AS region_id, event_id
+FROM p WHERE ({parity}) % 2 = 1 AND ({margin})
+"""
+
+
+def _region_triangle_values() -> str:
+    """VALUES rows (region_id, sign, ax..cz): every region decomposed into
+    its triangle fan with the per-ring depth sign, vertex coords as
+    literals — DuckDB recomputes area/centroid from them in SQL."""
+    rows = []
+
+    def fan(rid: str, verts, sign: int):
+        v0 = verts[0]
+        for i in range(1, len(verts) - 1):
+            b, c = verts[i], verts[i + 1]
+            # CAST: DuckDB types bare VALUES numerics as DECIMAL, whose scale
+            # overflows under repeated multiplication
+            coords = ", ".join(f"CAST({specs.f(x)} AS DOUBLE)" for x in (*v0, *b, *c))
+            rows.append(f"('{rid}', CAST({sign} AS DOUBLE), {coords})")
+
+    for rid, ring in specs.POLYGONS:
+        fan(rid, specs.polygon_vertices_xyz(ring), 1)
+    for depth, ring in enumerate(specs.NESTED_RINGS):
+        fan(
+            specs.NESTED_POLYGON_ID,
+            specs.polygon_vertices_xyz(ring),
+            1 if depth % 2 == 0 else -1,
+        )
+    return ",\n  ".join(rows)
+
+
+def o_region_area_stats() -> str:
+    xyz = _XYZ.format(id="event_id", src="pts")
+    # counts: convex regions via edge-sign branches, nested via parity
+    branches = []
+    for rid, crosses in polygon_edge_crosses().items():
+        dets = [
+            f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+            for cx, cy, cz in crosses
+        ]
+        inside = " AND ".join(f"{d} > 0" for d in dets)
+        margin = " AND ".join(f"abs({d}) > {specs.f(specs.PIP_MARGIN)}" for d in dets)
+        branches.append(
+            f"SELECT '{rid}' AS region_id, event_id FROM p WHERE ({inside}) AND ({margin})"
+        )
+    insides, nmargin = _nested_ring_tests()
+    parity = " + ".join(f"(CASE WHEN {i} THEN 1 ELSE 0 END)" for i in insides)
+    branches.append(
+        f"SELECT '{specs.NESTED_POLYGON_ID}' AS region_id, event_id FROM p "
+        f"WHERE ({parity}) % 2 = 1 AND ({nmargin})"
+    )
+    hits = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+hits AS ({hits}),
+counts AS (SELECT region_id, count(*) AS n_events FROM hits GROUP BY 1),
+tri(region_id, s, ax, ay, az, bx, by, bz, cx, cy, cz) AS (VALUES
+  {_region_triangle_values()}
+),
+t1 AS (
+  SELECT *,
+    atan2(sqrt(POW(by*cz - bz*cy, 2) + POW(bz*cx - bx*cz, 2) + POW(bx*cy - by*cx, 2)),
+          bx*cx + by*cy + bz*cz) AS sa,
+    atan2(sqrt(POW(cy*az - cz*ay, 2) + POW(cz*ax - cx*az, 2) + POW(cx*ay - cy*ax, 2)),
+          cx*ax + cy*ay + cz*az) AS sb,
+    atan2(sqrt(POW(ay*bz - az*by, 2) + POW(az*bx - ax*bz, 2) + POW(ax*by - ay*bx, 2)),
+          ax*bx + ay*by + az*bz) AS sc,
+    ax*(by*cz - bz*cy) + ay*(bz*cx - bx*cz) + az*(bx*cy - by*cx) AS det,
+    least(greatest(ax*bx + ay*by + az*bz, -1.0), 1.0) AS dab,
+    least(greatest(bx*cx + by*cy + bz*cz, -1.0), 1.0) AS dbc,
+    least(greatest(cx*ax + cy*ay + cz*az, -1.0), 1.0) AS dca
+  FROM tri
+),
+t2 AS (
+  SELECT *,
+    2 * atan(det / (1.0 + abs(dab) + abs(dbc) + abs(dca))) AS tri_area,
+    CASE WHEN sa = 0 THEN 1.0 ELSE sa / sin(sa) END AS ra,
+    CASE WHEN sb = 0 THEN 1.0 ELSE sb / sin(sb) END AS rb,
+    CASE WHEN sc = 0 THEN 1.0 ELSE sc / sin(sc) END AS rc
+  FROM t1
+),
+t3 AS (
+  SELECT region_id, s, tri_area,
+    0.5 * (((by-ay)*(cz-az) - (cy-ay)*(bz-az)) * ra
+         + ((cy-ay)*az - ay*(cz-az)) * (rb - ra)
+         + (ay*(bz-az) - (by-ay)*az) * (rc - ra)) AS ccx,
+    0.5 * (((bz-az)*(cx-ax) - (cz-az)*(bx-ax)) * ra
+         + ((cz-az)*ax - az*(cx-ax)) * (rb - ra)
+         + (az*(bx-ax) - (bz-az)*ax) * (rc - ra)) AS ccy,
+    0.5 * (((bx-ax)*(cy-ay) - (cx-ax)*(by-ay)) * ra
+         + ((cx-ax)*ay - ax*(cy-ay)) * (rb - ra)
+         + (ax*(by-ay) - (bx-ax)*ay) * (rc - ra)) AS ccz
+  FROM t2
+),
+geo AS (
+  SELECT region_id, sum(s * tri_area) AS area,
+    sum(s * ccx) AS gx, sum(s * ccy) AS gy, sum(s * ccz) AS gz
+  FROM t3 GROUP BY 1
+)
+SELECT region_id, n_events,
+  round(area, 9) AS area_r,
+  round(gx, 9) AS cx_r, round(gy, 9) AS cy_r, round(gz, 9) AS cz_r,
+  round(CAST(n_events AS DOUBLE) / area, 6) AS density_r
+FROM counts JOIN geo USING (region_id)
+"""
+
+
 def o_minhash_lsh() -> str:
     """DuckDB replay of the full MinHash-LSH pipeline (q_minhash_lsh):
     word-3gram -> char-fold hash -> 128 affine min-hashes -> 16 banded
@@ -740,6 +877,8 @@ ORACLES = {
     "s2_cap_tile_rollup": o_cap_tile_rollup,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
+    "s2_poly_nested_join": o_poly_nested_join,
+    "s2_region_area_stats": o_region_area_stats,
     "s2_knn": o_knn,
     "s2_knn_cellring": o_knn,
     "s2_covering_set_ops": o_covering_set_ops,

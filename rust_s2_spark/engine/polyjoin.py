@@ -113,3 +113,33 @@ def loop_join(
     )
     keep = [c for c in docs_tiled.columns] + ["region_id"]
     return refined.select(*keep)
+
+
+# Per-executor memo for nested Polygon objects.
+_POLY_CACHE: dict[int, object] = {}
+
+
+def nested_polygon_refine_udf(spark: SparkSession, rings: list[np.ndarray]):
+    """Vectorized parity PIP over a nested loop hierarchy: the Polygon is
+    rebuilt once per executor from broadcast ring arrays (depths inferred
+    via contains_nested, polygon.rs:218-346), then contains_points runs the
+    crossing-number kernel per loop and XORs parities per Arrow batch."""
+    bc = spark.sparkContext.broadcast([r.copy() for r in rings])
+    key = id(bc)
+
+    @pandas_udf("boolean")
+    def _refine(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.pip import Polygon
+
+        poly = _POLY_CACHE.get(key)
+        if poly is None:
+            poly = Polygon.from_loops([Loop(v) for v in bc.value])
+            _POLY_CACHE[key] = poly
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        return pd.Series(
+            poly.contains_points(cl * np.cos(ln), cl * np.sin(ln), np.sin(la))
+        )
+
+    return _refine

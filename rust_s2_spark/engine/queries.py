@@ -245,6 +245,148 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refined.select("region_id", "event_id")
 
 
+@functools.cache
+def _nested_setup():
+    from ..kernel.pip import Loop, Polygon
+
+    loops = [
+        Loop(np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64))
+        for r in specs.NESTED_RINGS
+    ]
+    poly = Polygon.from_loops(loops)
+    coverer = RegionCoverer(max_cells=16)
+    cov = tuple(_cov_rows_for(specs.NESTED_POLYGON_ID, coverer.covering(poly).ids))
+    return poly, cov
+
+
+def _nested_edge_crosses() -> list[tuple[float, float, float]]:
+    """Edge-plane normals of every ring of the nested polygon, as literals."""
+    out = []
+    for ring in specs.NESTED_RINGS:
+        verts = specs.polygon_vertices_xyz(ring)
+        n = len(verts)
+        for k in range(n):
+            a, b = verts[k], verts[(k + 1) % n]
+            out.append(
+                (
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                )
+            )
+    return out
+
+
+def q_poly_nested_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a 4-deep nested polygon (country > lake > island >
+    pond): covering prefilter over the whole hierarchy, JVM margin
+    prefilter on every ring edge, then the parity crossing-number refine.
+    The oracle recomputes containment independently as XOR of per-ring
+    convex edge-sign tests."""
+    docs = events_geo(spark, sf_dir)
+    _, cov_rows = _nested_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    ok = F.lit(True)
+    for cx, cy, cz in _nested_edge_crosses():
+        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
+        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    coarse = coarse.where(ok)
+    from .polyjoin import nested_polygon_refine_udf
+
+    rings = [
+        np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64)
+        for r in specs.NESTED_RINGS
+    ]
+    refined = coarse.where(
+        nested_polygon_refine_udf(spark, rings)(F.col("lat"), F.col("lng"))
+    )
+    return refined.select("region_id", "event_id")
+
+
+def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region area-weighted stats: event count inside each polygon
+    region (the three convex POLYGONS + the nested polygon), the region's
+    surface-integral area and true centroid (loop.rs:1833-1980 kernels,
+    computed driver-side per region — regions are few), and event density.
+    The oracle recomputes counts by edge-sign tests and the area/centroid
+    by evaluating the same triangle-fan formulas in DuckDB SQL from the
+    vertex literals."""
+    import math as _math
+
+    from ..kernel.pip import Loop, Polygon
+
+    docs = events_geo(spark, sf_dir)
+    verts, cov_rows = _loop_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    coarse = coarse.where(_margin_pred())
+    from .polyjoin import _pip_refine_udf, nested_polygon_refine_udf
+
+    flat = coarse.where(
+        _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
+    ).select("region_id", "event_id")
+
+    _, ncov = _nested_setup()
+    ncoverings = spark.createDataFrame(list(ncov), _COVER_SCHEMA)
+    nlevels = sorted({r[2] for r in ncov})
+    ncoarse = covering_join(docs, ncoverings, id_col="event_id", levels=nlevels)
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    ok = F.lit(True)
+    for cx, cy, cz in _nested_edge_crosses():
+        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
+        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    rings = [
+        np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64)
+        for r in specs.NESTED_RINGS
+    ]
+    nested = (
+        ncoarse.where(ok)
+        .where(nested_polygon_refine_udf(spark, rings)(F.col("lat"), F.col("lng")))
+        .select("region_id", "event_id")
+    )
+    hits = flat.unionByName(nested)
+    counts = hits.groupBy("region_id").agg(F.count("*").alias("n_events"))
+
+    # region geometry stats via the kernel (driver-side: regions are few)
+    geo_rows = []
+    for rid, ring in specs.POLYGONS:
+        lp = Loop(np.asarray(specs.polygon_vertices_xyz(ring), dtype=np.float64))
+        area = lp.area()
+        c = lp.centroid()
+        geo_rows.append((rid, area, float(c[0]), float(c[1]), float(c[2])))
+    npoly = Polygon.from_loops(
+        [
+            Loop(np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64))
+            for r in specs.NESTED_RINGS
+        ]
+    )
+    nc = npoly.centroid()
+    geo_rows.append(
+        (specs.NESTED_POLYGON_ID, npoly.area(), float(nc[0]), float(nc[1]), float(nc[2]))
+    )
+    geo = spark.createDataFrame(
+        geo_rows, "region_id string, area double, cx double, cy double, cz double"
+    )
+    out = counts.join(F.broadcast(geo), on="region_id")
+    return out.select(
+        "region_id",
+        "n_events",
+        F.round("area", 9).alias("area_r"),
+        F.round("cx", 9).alias("cx_r"),
+        F.round("cy", 9).alias("cy_r"),
+        F.round("cz", 9).alias("cz_r"),
+        F.round(F.col("n_events") / F.col("area"), 6).alias("density_r"),
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest events per query point by squared chord distance.
 
@@ -1090,6 +1232,8 @@ QUERIES = {
     "s2_cap_tile_rollup": q_cap_tile_rollup,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
+    "s2_poly_nested_join": q_poly_nested_join,
+    "s2_region_area_stats": q_region_area_stats,
     "s2_knn": q_knn,
     "s2_knn_cellring": q_knn_cellring,
     "s2_covering_set_ops": q_covering_set_ops,

@@ -104,6 +104,17 @@ POLYGONS = [
 
 PIP_MARGIN = 1e-12  # exclude points this close to an edge plane (both sides)
 
+# Deeply nested polygon (country > lake > island > pond), all rings CCW and
+# convex; polygon interior = points inside an ODD number of rings
+# (polygon.rs:140-161 parity convention).
+NESTED_POLYGON_ID = "poly_nested_country"
+NESTED_RINGS = [
+    [(0.0, 0.0), (0.0, 40.0), (40.0, 40.0), (40.0, 0.0)],
+    [(10.0, 10.0), (10.0, 30.0), (30.0, 30.0), (30.0, 10.0)],
+    [(15.0, 15.0), (15.0, 25.0), (25.0, 25.0), (25.0, 15.0)],
+    [(18.0, 18.0), (18.0, 22.0), (22.0, 22.0), (22.0, 18.0)],
+]
+
 
 def polygon_vertices_xyz(ring: list[tuple[float, float]]) -> list[tuple[float, float, float]]:
     return [_unit_xyz(la, ln) for la, ln in ring]

@@ -184,6 +184,76 @@ def robust_sign(a, b, c) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _vec_angle(a: np.ndarray, b: np.ndarray) -> float:
+    """Angle between unit vectors, stable near 0 and pi."""
+    return math.atan2(float(np.linalg.norm(np.cross(a, b))), float(a @ b))
+
+
+def triangle_signed_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Signed area of spherical triangle (a,b,c): positive iff CCW
+    (loop.rs:1986-2012, tan(area/2) = det / (1 + |ab| + |bc| + |ca|))."""
+    a_dot_b = min(max(float(a @ b), -1.0), 1.0)
+    b_dot_c = min(max(float(b @ c), -1.0), 1.0)
+    c_dot_a = min(max(float(c @ a), -1.0), 1.0)
+    det = float(a @ np.cross(b, c))
+    denom = 1.0 + abs(a_dot_b) + abs(b_dot_c) + abs(c_dot_a)
+    return 2.0 * math.atan(det / denom)
+
+
+def triangle_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Unsigned area of spherical triangle (a,b,c): l'Huilier with a Girard
+    fallback for skinny triangles (point.rs:318-351)."""
+    sa = _vec_angle(b, c)
+    sb = _vec_angle(c, a)
+    sc = _vec_angle(a, b)
+    s = 0.5 * (sa + sb + sc)
+    if s >= 3e-4:
+        dmin = s - max(sa, sb, sc)
+        if dmin < 1e-2 * s * s * s * s * s:
+            ab = np.cross(a, b)
+            bc = np.cross(b, c)
+            ac = np.cross(a, c)
+            ab_ac = _vec_angle(ab, ac)
+            ab_bc = _vec_angle(ab, bc)
+            bc_ac = _vec_angle(bc, ac)
+            area = max(ab_ac - ab_bc + bc_ac, 0.0)
+            if dmin < s * 0.1 * area:
+                return area
+    return 4.0 * math.atan(
+        math.sqrt(
+            max(
+                math.tan(0.5 * s)
+                * math.tan(0.5 * (s - sa))
+                * math.tan(0.5 * (s - sb))
+                * math.tan(0.5 * (s - sc)),
+                0.0,
+            )
+        )
+    )
+
+
+def triangle_true_centroid(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """True centroid of spherical triangle (a,b,c) times its signed area;
+    not normalized (point.rs:353-400)."""
+    sa = _vec_angle(b, c)
+    ra = 1.0 if sa == 0.0 else sa / math.sin(sa)
+    sb = _vec_angle(c, a)
+    rb = 1.0 if sb == 0.0 else sb / math.sin(sb)
+    sc = _vec_angle(a, b)
+    rc = 1.0 if sc == 0.0 else sc / math.sin(sc)
+    x = np.array([a[0], b[0] - a[0], c[0] - a[0]])
+    y = np.array([a[1], b[1] - a[1], c[1] - a[1]])
+    z = np.array([a[2], b[2] - a[2], c[2] - a[2]])
+    r = np.array([ra, rb - ra, rc - ra])
+    return 0.5 * np.array(
+        [
+            float(np.cross(y, z) @ r),
+            float(np.cross(z, x) @ r),
+            float(np.cross(x, y) @ r),
+        ]
+    )
+
+
 def _ortho(v: np.ndarray) -> np.ndarray:
     """r3/vector.rs:249-261 — deterministic orthogonal vector."""
     ov = np.array([0.012, 0.0053, 0.00457])
@@ -457,6 +527,7 @@ class Loop:
     def __init__(self, vertices: np.ndarray):
         self.vertices = np.asarray(vertices, dtype=float)
         n = len(self.vertices)
+        self.depth = 0  # nesting depth within a Polygon (shells even, holes odd)
         self.is_empty_or_full = n == 1
         if self.is_empty_or_full:
             self.origin_inside = self.vertices[0][2] > 0  # full loop sentinel z=+1
@@ -601,15 +672,144 @@ class Loop:
         """Girard-style: area = 2*pi - turning_angle for a CCW loop."""
         return 2 * PI - self.turning_angle()
 
+    def is_empty(self) -> bool:
+        return self.is_empty_or_full and not self.origin_inside
+
+    def is_full(self) -> bool:
+        return self.is_empty_or_full and self.origin_inside
+
+    def contains_origin(self) -> bool:
+        return self.origin_inside
+
+    def is_hole(self) -> bool:
+        return (self.depth & 1) == 1
+
+    def sign(self) -> int:
+        """-1 for holes, +1 for shells (loop.rs)."""
+        return -1 if self.is_hole() else 1
+
+    def turning_angle_max_error(self) -> float:
+        """~11.25 * DBL_EPSILON per vertex (loop.rs:1803-1814)."""
+        return 11.25 * DBL_EPSILON * len(self.vertices)
+
+    def find_vertex(self, p: np.ndarray) -> int | None:
+        """Index m in [1, n] with vertex(m) == p, else None (loop.rs:708-717)."""
+        n = len(self.vertices)
+        for m in range(1, n + 1):
+            if np.array_equal(self.vertex(m), p):
+                return m
+        return None
+
+    def contains_non_crossing_boundary(self, other: "Loop", reverse_other: bool) -> bool:
+        """Whether this loop contains other's boundary, given that their
+        boundaries do not cross (loop.rs:157-188)."""
+        if not self.bound.intersects_rect(other.bound):
+            return False
+        if self.is_full():
+            return True
+        if other.is_full():
+            return False
+        m = self.find_vertex(other.vertex(0))
+        if m is None:
+            return self.contains_point(other.vertex(0))
+        return wedge_contains_semi_wedge(
+            self.vertex(m - 1),
+            self.vertex(m),
+            self.vertex(m + 1),
+            other.vertex(1),
+            reverse_other,
+        )
+
+    def find_validation_error(self) -> str | None:
+        """Input validation for untrusted loops (loop.rs:1318-1362, the
+        no-index part), plus the non-adjacent-edge-crossing sweep the
+        reference defers to its ShapeIndex.  Returns None when valid."""
+        for i, v in enumerate(self.vertices):
+            if abs(float(v @ v) - 1.0) > 5e-14:
+                return f"vertex {i} is not unit length"
+        n = len(self.vertices)
+        if n < 3:
+            if self.is_empty_or_full:
+                return None
+            return "non-empty, non-full loops must have at least 3 vertices"
+        for i in range(n):
+            if np.array_equal(self.vertex(i), self.vertex(i + 1)):
+                return f"edge {i} is degenerate (duplicate vertex)"
+            if np.array_equal(self.vertex(i), -self.vertex(i + 1)):
+                return f"vertices {i} and {(i + 1) % n} are antipodal"
+        # Self-intersection: any two non-adjacent edges must not cross or
+        # share a vertex (the reference runs this via findSelfIntersection).
+        for i in range(n):
+            a0, a1 = self.vertex(i), self.vertex(i + 1)
+            crosser = EdgeCrosser(a0, a1)
+            for j in range(i + 1, n):
+                b0, b1 = self.vertex(j), self.vertex(j + 1)
+                adjacent = j == i + 1 or (i == 0 and j == n - 1)
+                c = crosser.crossing_sign(b0, b1)
+                if c == CROSS:
+                    return f"edges {i} and {j} cross"
+                if c == MAYBE_CROSS and not adjacent:
+                    return f"edges {i} and {j} share a vertex"
+        return None
+
+    def surface_integral(self, f, vec: bool = False):
+        """Oriented surface integral of f over the loop interior via a
+        triangle fan with numerically-stable origin shifts
+        (loop.rs:1870-1925)."""
+        max_length = PI - 1e-5
+        total = np.zeros(3) if vec else 0.0
+        v0 = self.vertex(0)
+        origin = v0
+        n = len(self.vertices)
+        for i in range(1, n - 1):
+            if _vec_angle(self.vertex(i + 1), origin) > max_length:
+                old_origin = origin
+                if np.array_equal(origin, v0):
+                    c = np.cross(v0, self.vertex(i))
+                    origin = c / np.linalg.norm(c)
+                elif _vec_angle(self.vertex(i), v0) < max_length:
+                    origin = v0
+                else:
+                    origin = np.cross(v0, old_origin)
+                    total = total + f(v0, old_origin, origin)
+                total = total + f(old_origin, self.vertex(i), origin)
+            total = total + f(origin, self.vertex(i), self.vertex(i + 1))
+        if not np.array_equal(origin, v0):
+            total = total + f(origin, self.vertex(n - 1), v0)
+        return total
+
+    def area(self) -> float:
+        """Robust interior area in [0, 4*pi] (loop.rs:1833-1867): signed
+        triangle-fan sum, wrap negatives (loop exterior), disambiguate
+        near-0/near-4pi via explicit orientation."""
+        if self.is_empty_or_full:
+            return 4.0 * PI if self.origin_inside else 0.0
+        area = self.surface_integral(triangle_signed_area)
+        if area < 0.0:
+            area += 4.0 * PI
+        area = min(max(area, 0.0), 4.0 * PI)
+        max_error = self.turning_angle_max_error()
+        if area < max_error and not self.is_normalized():
+            return 4.0 * PI
+        if area > 4.0 * PI - max_error and self.is_normalized():
+            return 0.0
+        return area
+
+    def centroid(self) -> np.ndarray:
+        """True centroid multiplied by loop area; not unit length
+        (loop.rs:1930-1940).  Pre-scaling by area makes centroids of
+        disjoint regions additive."""
+        if self.is_empty_or_full:
+            return np.zeros(3)
+        return self.surface_integral(triangle_true_centroid, vec=True)
+
     def is_normalized(self) -> bool:
         """Area at most 2*pi (loop.rs:1660-1676)."""
         if self.bound.lng.length < PI:
             return True
-        # turning_angle_max_error (loop.rs:1672): ~= 11.25 * DBL_EPSILON per
-        # vertex — the reference's bound, much tighter than an ad-hoc slack.
-        n = len(self.vertices)
-        max_error = 11.25 * 2.220446049250313e-16 * max(n, 1)
-        return self.turning_angle() >= -max_error
+        # hemispheres evaluate turning_angle to exactly -2*pi with no error;
+        # allow the reference's canonical error bound
+        return self.turning_angle() >= -self.turning_angle_max_error()
 
     def invert(self) -> "Loop":
         """Complement region: reversed vertex order (loop.rs:1684-1716)."""
@@ -691,12 +891,179 @@ def _turn_angle(a, b, c) -> float:
     return angle
 
 
-class Polygon:
-    """Loops nested into shells/holes; containment = XOR of loop parities
-    (polygon.rs:786-810)."""
+def loop_contains_nested(a: "Loop", b: "Loop") -> bool:
+    """A.contains_nested(B): containment given no shared edges and either
+    nesting or disjointness (loop.rs:671-700).  Used to build the polygon
+    loop hierarchy."""
+    if not a.subregion_bound.contains_rect(b.bound):
+        return False
+    if a.is_empty_or_full or len(b.vertices) < 2:
+        return a.is_full() or b.is_empty()
+    m = a.find_vertex(b.vertex(1))
+    if m is None:
+        return a.contains_point(b.vertex(1))
+    return general_wedge_contains(
+        a.vertex(m - 1), a.vertex(m), a.vertex(m + 1), b.vertex(0), b.vertex(2)
+    )
 
-    def __init__(self, loops: list[Loop]):
-        self.loops = loops
+
+def _order_nested(loops: list["Loop"]) -> list["Loop"]:
+    """Assign depths and return loops in preorder of the nesting forest
+    (polygon.rs:218-346 init_nested/build_loop_hierarchy semantics)."""
+    n = len(loops)
+    if n <= 1:
+        for lp in loops:
+            lp.depth = 0
+        return list(loops)
+    containers = [
+        [j for j in range(n) if j != i and loop_contains_nested(loops[j], loops[i])]
+        for i in range(n)
+    ]
+    parent = [None] * n
+    for i in range(n):
+        best = None
+        for j in containers[i]:
+            if best is None or loop_contains_nested(loops[best], loops[j]):
+                best = j
+        parent[i] = best
+    children: dict[int | None, list[int]] = {None: []}
+    for i in range(n):
+        children.setdefault(i, [])
+    for i in range(n):
+        children.setdefault(parent[i], []).append(i)
+    ordered: list[Loop] = []
+
+    def visit(idx: int, depth: int) -> None:
+        loops[idx].depth = depth
+        ordered.append(loops[idx])
+        for c in children.get(idx, []):
+            visit(c, depth + 1)
+
+    for r in children[None]:
+        visit(r, 0)
+    return ordered
+
+
+class Polygon:
+    """Nested loop hierarchy (polygon.rs:140-377): the interior consists of
+    points contained by an odd number of loops.  Loops are stored in
+    preorder of the nesting forest with ``depth`` set (shells even depths,
+    holes odd); ``parent``/``last_descendant`` navigate the hierarchy."""
+
+    def __init__(self, loops: list[Loop], _nested: bool = False):
+        self.loops = list(loops) if _nested else _order_nested(list(loops))
+        self._init_properties()
+
+    def _init_properties(self) -> None:
+        self.has_holes = any(lp.is_hole() for lp in self.loops)
+        b = Rect.empty()
+        for lp in self.loops:
+            if not lp.is_hole():
+                b = _rect_union(b, lp.bound)
+        self.bound = b
+        self.subregion_bound = expand_for_subregions(b)
+
+    @staticmethod
+    def from_loops(loops: list[Loop]) -> "Polygon":
+        """Nesting is inferred; loops reordered to preorder with depths
+        (polygon.rs:149-161)."""
+        if len(loops) == 1 and loops[0].is_empty():
+            return Polygon([], _nested=True)
+        return Polygon(loops)
+
+    @staticmethod
+    def from_oriented_loops(loops: list[Loop]) -> "Polygon":
+        """Loops oriented with the polygon interior on their left; holes are
+        auto-inverted (polygon.rs:169-211)."""
+        contained_origin = {id(lp): lp.contains_origin() for lp in loops}
+        norm = []
+        for lp in loops:
+            angle = lp.turning_angle()
+            if abs(angle) > lp.turning_angle_max_error():
+                if angle < 0.0:
+                    lp = lp.invert()
+            else:
+                if lp.contains_origin():
+                    lp = lp.invert()
+            norm.append(lp)
+        p = Polygon.from_loops(norm)
+        if p.num_loops() > 0:
+            origin_loop = p.loops[0]
+            polygon_contains_origin = False
+            for lp in p.loops:
+                if lp.contains_origin():
+                    polygon_contains_origin = not polygon_contains_origin
+                    origin_loop = lp
+            want = contained_origin.get(id(origin_loop))
+            # id() survives only for non-inverted loops; inverted ones flip
+            # origin containment by construction, so a miss means "flipped".
+            if want is None:
+                want = not origin_loop.contains_origin()
+            if want != polygon_contains_origin:
+                p = p.invert()
+        return p
+
+    # -- hierarchy --
+
+    def num_loops(self) -> int:
+        return len(self.loops)
+
+    def is_empty(self) -> bool:
+        return not self.loops
+
+    def is_full(self) -> bool:
+        return len(self.loops) == 1 and self.loops[0].is_full()
+
+    def parent(self, k: int) -> int | None:
+        """Index of loop k's parent in the preorder (polygon.rs:537-559)."""
+        depth = self.loops[k].depth
+        if depth == 0:
+            return None
+        k -= 1
+        while k >= 0 and self.loops[k].depth >= depth:
+            k -= 1
+        return None if k < 0 else k
+
+    def last_descendant(self, k: int) -> int:
+        """Index of the last loop nested within loop k (polygon.rs:561-583)."""
+        if k >= len(self.loops):
+            return len(self.loops) - 1
+        depth = self.loops[k].depth
+        k += 1
+        while k < len(self.loops) and self.loops[k].depth > depth:
+            k += 1
+        return k - 1
+
+    def invert(self) -> "Polygon":
+        """Complement region (polygon.rs:454-533): invert the largest-area
+        depth-0 loop; its former siblings become descendants and vice versa."""
+        if self.is_empty():
+            return Polygon([Loop.full()], _nested=True)
+        if self.is_full():
+            return Polygon([], _nested=True)
+        best, best_angle = 0, None
+        for i in range(1, len(self.loops)):
+            if self.loops[i].depth != 0:
+                continue
+            if best_angle is None:
+                best_angle = self.loops[best].turning_angle()
+            angle = self.loops[i].turning_angle()
+            if angle < best_angle:
+                best, best_angle = i, angle
+        last_best = self.last_descendant(best)
+        new_loops = [self.loops[best].invert()]
+        new_loops[0].depth = 0
+        for i, lp in enumerate(self.loops):
+            if i < best or i > last_best:
+                lp.depth += 1
+                new_loops.append(lp)
+        for i, lp in enumerate(self.loops):
+            if best < i <= last_best:
+                lp.depth -= 1
+                new_loops.append(lp)
+        return Polygon(new_loops, _nested=True)
+
+    # -- point / area --
 
     def contains_point(self, p: np.ndarray) -> bool:
         inside = False
@@ -711,18 +1078,125 @@ class Polygon:
         return out
 
     def rect_bound(self) -> Rect:
-        b = Rect.empty()
-        for lp in self.loops:
-            b = _rect_union(b, lp.bound)
-        return b
+        return self.bound
 
     def area(self) -> float:
-        """Interior area: shell area minus hole areas (polygon.rs:1028-1045;
-        parity model: loops[0] shell, rest holes)."""
-        total = self.loops[0].signed_area()
-        for lp in self.loops[1:]:
-            total -= lp.signed_area()
-        return total
+        """Interior area: sum of loop areas signed by depth parity
+        (polygon.rs:1028-1038)."""
+        return sum(lp.sign() * lp.area() for lp in self.loops)
+
+    def centroid(self) -> np.ndarray:
+        """True centroid times polygon area, not unit length
+        (polygon.rs:1040-1062)."""
+        u = np.zeros(3)
+        for lp in self.loops:
+            u = u + lp.sign() * lp.centroid()
+        return u
+
+    # -- validation --
+
+    def validate(self) -> str | None:
+        """Returns None when valid (polygon.rs:605-637 + nesting check)."""
+        for i, lp in enumerate(self.loops):
+            err = lp.find_validation_error()
+            if err is not None:
+                return f"loop {i}: {err}"
+            if lp.is_empty():
+                return f"loop {i}: empty loops are not allowed"
+            if lp.is_full() and len(self.loops) > 1:
+                return f"loop {i}: full loop appears in non-full polygon"
+        return self._find_loop_nesting_error()
+
+    def _find_loop_nesting_error(self) -> str | None:
+        """polygon.rs:641-679."""
+        last_depth = -1
+        for i, lp in enumerate(self.loops):
+            if lp.depth < 0 or lp.depth > last_depth + 1:
+                return f"loop {i}: invalid loop depth ({lp.depth})"
+            last_depth = lp.depth
+        for i in range(len(self.loops)):
+            last = self.last_descendant(i)
+            for j in range(len(self.loops)):
+                if i == j:
+                    continue
+                nested = i < j <= last
+                if self.loops[i].contains_non_crossing_boundary(self.loops[j], False) != nested:
+                    word = "" if nested else "not "
+                    return f"invalid nesting: loop {i} should {word}contain loop {j}"
+        return None
+
+    # -- polygon-polygon relations (polygon.rs:1064-1231) --
+
+    def _any_loop_contains(self, o: Loop) -> bool:
+        return any(loop_contains_loop(lp, o) for lp in self.loops)
+
+    def _any_loop_intersects(self, o: Loop) -> bool:
+        return any(loop_intersects_loop(lp, o) for lp in self.loops)
+
+    def compare_boundary(self, o: Loop) -> int:
+        """+1 contains boundary of o, -1 excludes it, 0 boundaries cross
+        (polygon.rs:1115-1132): sign flips per containing loop."""
+        result = -1
+        for lp in self.loops:
+            if result == 0:
+                break
+            result *= -loop_compare_boundary(lp, o)
+        return result
+
+    def contains_boundary(self, o: "Polygon") -> bool:
+        return all(self.compare_boundary(lp) > 0 for lp in o.loops)
+
+    def excludes_boundary(self, o: "Polygon") -> bool:
+        return all(self.compare_boundary(lp) < 0 for lp in o.loops)
+
+    def _contains_non_crossing_boundary(self, o: Loop, reverse: bool) -> bool:
+        inside = False
+        for lp in self.loops:
+            inside ^= lp.contains_non_crossing_boundary(o, reverse)
+        return inside
+
+    def excludes_non_crossing_shells(self, o: "Polygon") -> bool:
+        for lp in o.loops:
+            if lp.is_hole():
+                continue
+            if self._contains_non_crossing_boundary(lp, False):
+                return False
+        return True
+
+    def excludes_non_crossing_complement_shells(self, o: "Polygon") -> bool:
+        if o.is_empty():
+            return not self.is_full()
+        if o.is_full():
+            return True
+        for j, lp in enumerate(o.loops):
+            if j > 0 and not lp.is_hole():
+                continue
+            if self._contains_non_crossing_boundary(lp, j == 0):
+                return False
+        return True
+
+    def contains(self, o: "Polygon") -> bool:
+        if len(self.loops) == 1 and len(o.loops) == 1:
+            return loop_contains_loop(self.loops[0], o.loops[0])
+        if not self.subregion_bound.contains_rect(o.bound):
+            if not _sinterval_union_full(self.bound.lng, o.bound.lng):
+                return False
+        if not self.has_holes and not o.has_holes:
+            return all(self._any_loop_contains(lp) for lp in o.loops)
+        return self.contains_boundary(o) and o.excludes_non_crossing_complement_shells(
+            self
+        )
+
+    def intersects(self, o: "Polygon") -> bool:
+        if len(self.loops) == 1 and len(o.loops) == 1:
+            return loop_intersects_loop(self.loops[0], o.loops[0])
+        if not self.bound.intersects_rect(o.bound):
+            return False
+        if not self.has_holes and not o.has_holes:
+            return any(self._any_loop_intersects(lp) for lp in o.loops)
+        return not self.excludes_boundary(o) or not o.excludes_non_crossing_shells(self)
+
+    # -- cell relations --
 
     def cell_union_bound(self) -> list[int]:
         return self.rect_bound().cell_union_bound()
@@ -908,45 +1382,26 @@ def loop_compare_boundary(a: "Loop", b: "Loop", b_is_hole: bool = False) -> int:
     return 1 if a.contains_point(b.vertices[0]) else -1
 
 
-def _poly_shells_holes(p: "Polygon"):
-    """Parity convention: loops[0] is the shell, the rest are depth-1 holes."""
-    return p.loops[0], list(p.loops[1:])
+def _sinterval_union_full(a, b) -> bool:
+    """Whether the union of two longitude intervals could span all
+    longitudes.  Conservative toward True (the caller only uses False as an
+    early exit), never False when the union is actually full."""
+    if a.is_full or b.is_full:
+        return True
+    if a.is_empty or b.is_empty:
+        return False
+    return a.length + b.length >= 2 * PI - 1e-15
 
 
 def polygon_contains_polygon(a: "Polygon", b: "Polygon") -> bool:
-    """A.contains(B) for polygons (polygon.rs:1064-1103 fast paths, plus the
-    shell/hole algebra for single-shell-with-holes polygons)."""
-    if len(a.loops) == 1 and len(b.loops) == 1:
-        return loop_contains_loop(a.loops[0], b.loops[0])
-    sa, holes_a = _poly_shells_holes(a)
-    sb, holes_b = _poly_shells_holes(b)
-    if not loop_contains_loop(sa, sb):
-        return False
-    for ha in holes_a:
-        # A's hole must not eat into B: it must either not touch B's shell,
-        # or sit entirely inside one of B's holes.
-        if loop_intersects_loop(ha, sb) and not any(
-            loop_contains_loop(hb, ha) for hb in holes_b
-        ):
-            return False
-    return True
+    """A.contains(B) via the general nested-hierarchy boundary algebra
+    (polygon.rs:1064-1103)."""
+    return a.contains(b)
 
 
 def polygon_intersects_polygon(a: "Polygon", b: "Polygon") -> bool:
-    """A.intersects(B) (polygon.rs:1180-1220 semantics for the same class)."""
-    if len(a.loops) == 1 and len(b.loops) == 1:
-        return loop_intersects_loop(a.loops[0], b.loops[0])
-    sa, holes_a = _poly_shells_holes(a)
-    sb, holes_b = _poly_shells_holes(b)
-    if not loop_intersects_loop(sa, sb):
-        return False
-    # Disjoint despite intersecting shells only if one region sits wholly
-    # inside a hole of the other.
-    if any(loop_contains_loop(ha, sb) for ha in holes_a):
-        return False
-    if any(loop_contains_loop(hb, sa) for hb in holes_b):
-        return False
-    return True
+    """A.intersects(B) (polygon.rs:1201-1231)."""
+    return a.intersects(b)
 
 
 # ---------------------------------------------------------------------------

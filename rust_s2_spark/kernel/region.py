@@ -399,6 +399,31 @@ class Cell:
         x, y, z = hilbert.cellid_to_xyz(np.uint64(self.id))
         return np.array([float(x), float(y), float(z)])
 
+    def exact_area(self) -> float:
+        """Exact cell area as two spherical triangles (cell.rs:213-217)."""
+        from .pip import triangle_area
+
+        v = self.vertices()
+        return triangle_area(v[0], v[1], v[2]) + triangle_area(v[0], v[2], v[3])
+
+    def approx_area(self) -> float:
+        """Flat diagonal-cross area with a spherical-cap curvature
+        compensation; within ~3% everywhere, ~0.1% at level>=5
+        (cell.rs:219-245)."""
+        from .constants import AVG_AREA
+
+        if self.level < 2:
+            return self.average_area()
+        v = self.vertices()
+        flat_area = 0.5 * float(np.linalg.norm(np.cross(v[2] - v[0], v[3] - v[1])))
+        return flat_area * 2.0 / (1.0 + math.sqrt(1.0 - min(flat_area / math.pi, 1.0)))
+
+    def average_area(self) -> float:
+        """Average area of cells at this level (cell.rs:247-251)."""
+        from .constants import AVG_AREA
+
+        return AVG_AREA.value(self.level)
+
     def contains_point(self, p: np.ndarray) -> bool:
         """uv-rect test expanded by DBL_EPSILON (cell.rs:400-415)."""
         n = _NORM_AXES[self.face]

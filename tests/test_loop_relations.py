@@ -153,7 +153,9 @@ def test_polygon_area():
     annulus = Polygon([shell, hole])
     a = annulus.area()
     assert 0 < a < shell.signed_area()
-    assert abs(a - (shell.signed_area() - hole.signed_area())) < 1e-15
+    # Polygon.area sums the robust surface-integral loop areas by depth sign
+    assert a == shell.area() - hole.area()
+    assert abs(a - (shell.signed_area() - hole.signed_area())) < 1e-12
     # whole-sphere sanity: area of loop + complement = 4*pi
     assert abs(shell.signed_area() + shell.invert().signed_area() - 4 * math.pi) < 1e-9
 

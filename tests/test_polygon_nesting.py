@@ -1,0 +1,227 @@
+"""Multi-level polygon nesting: hierarchy build, navigation, relations,
+area/centroid, validation (polygon.rs:140-377, 454-679, 1028-1231).
+
+Fixture geography (all CCW unless noted):
+  country  0..40 x 0..40
+  lake     10..30 x 10..30   (hole, depth 1)
+  island   15..25 x 15..25   (shell again, depth 2)
+  pond     18..22 x 18..22   (hole in the island, depth 3)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.kernel.pip import (
+    Loop,
+    Polygon,
+    polygon_contains_polygon,
+    polygon_intersects_polygon,
+    triangle_area,
+)
+from rust_s2_spark.kernel.region import _latlng_point
+
+
+def L(text: str) -> Loop:
+    return Loop.from_latlng_text(text)
+
+
+def pt(lat: float, lng: float) -> np.ndarray:
+    return _latlng_point(math.radians(lat), math.radians(lng))
+
+
+COUNTRY = "0:0, 0:40, 40:40, 40:0"
+LAKE = "10:10, 10:30, 30:30, 30:10"
+ISLAND = "15:15, 15:25, 25:25, 25:15"
+POND = "18:18, 18:22, 22:22, 22:18"
+
+
+@pytest.fixture
+def deep():
+    # shuffled input order: from_loops must recover the hierarchy
+    return Polygon.from_loops([L(ISLAND), L(COUNTRY), L(POND), L(LAKE)])
+
+
+def test_depths_and_preorder(deep):
+    assert [lp.depth for lp in deep.loops] == [0, 1, 2, 3]
+    # preorder: country, lake, island, pond
+    assert [len(lp.vertices) for lp in deep.loops] == [4, 4, 4, 4]
+    assert deep.has_holes
+
+
+def test_parent_last_descendant(deep):
+    assert deep.parent(0) is None
+    assert deep.parent(1) == 0
+    assert deep.parent(2) == 1
+    assert deep.parent(3) == 2
+    assert deep.last_descendant(0) == 3
+    assert deep.last_descendant(2) == 3
+    assert deep.last_descendant(3) == 3
+
+
+def test_swiss_cheese_siblings():
+    # two disjoint holes at the same depth share the shell as parent
+    h1 = L("5:5, 5:15, 15:15, 15:5")
+    h2 = L("25:25, 25:35, 35:35, 35:25")
+    p = Polygon.from_loops([h1, L(COUNTRY), h2])
+    assert [lp.depth for lp in p.loops] == [0, 1, 1]
+    assert p.parent(1) == 0 and p.parent(2) == 0
+    assert p.last_descendant(0) == 2
+    assert p.last_descendant(1) == 1
+
+
+def test_point_parity(deep):
+    assert deep.contains_point(pt(5, 5))  # country ring
+    assert not deep.contains_point(pt(12, 20))  # lake water
+    assert deep.contains_point(pt(16, 20))  # island ring
+    assert not deep.contains_point(pt(20, 20))  # pond water
+    assert not deep.contains_point(pt(-5, -5))  # outside
+
+
+def test_area_centroid_additive(deep):
+    want = L(COUNTRY).area() - L(LAKE).area() + L(ISLAND).area() - L(POND).area()
+    assert deep.area() == want
+    c = deep.centroid()
+    # the fixture is symmetric about the lat=lng diagonal: x-centroid parts
+    # for lat/lng swap symmetry mean cy == cz-ish is not exact; instead check
+    # the centroid normalizes into the country square's interior
+    cn = c / np.linalg.norm(c)
+    lat = math.degrees(math.asin(cn[2]))
+    lng = math.degrees(math.atan2(cn[1], cn[0]))
+    assert 0 < lat < 40 and 0 < lng < 40
+    # additivity: centroid of polygon = signed sum of loop centroids
+    want_c = (
+        L(COUNTRY).centroid() - L(LAKE).centroid() + L(ISLAND).centroid() - L(POND).centroid()
+    )
+    assert np.array_equal(c, want_c)
+
+
+def test_validate_good_and_bad(deep):
+    assert deep.validate() is None
+    # island outside its lake -> nesting error surfaced
+    bad = Polygon(
+        [L(COUNTRY), L(LAKE), L("32:32, 32:38, 38:38, 38:32")], _nested=False
+    )
+    # hand-build a wrong hierarchy: force pond depth under the wrong parent
+    forced = Polygon.from_loops([L(COUNTRY), L(LAKE)])
+    forced.loops[1].depth = 2
+    assert forced._find_loop_nesting_error() is not None
+    assert bad.validate() is None  # that one is actually a valid swiss cheese
+
+
+def test_validate_loop_errors():
+    assert L(COUNTRY).find_validation_error() is None
+    self_cross = L("0:0, 0:10, 10:0, 10:10")  # bowtie
+    assert "cross" in self_cross.find_validation_error()
+    dup = Loop(np.array([pt(0, 0), pt(0, 10), pt(0, 10), pt(10, 10)]))
+    assert "degenerate" in dup.find_validation_error()
+    p = Polygon.from_loops([L(COUNTRY)])
+    assert p.validate() is None
+
+
+def test_nested_relations(deep):
+    ring_piece = Polygon.from_loops([L("2:2, 2:8, 8:8, 8:2")])
+    lake_piece = Polygon.from_loops([L("11:18, 11:22, 13:22, 13:18")])
+    island_piece = Polygon.from_loops([L("15.5:18, 15.5:22, 17:22, 17:18")])
+    pond_piece = Polygon.from_loops([L("19:19, 19:21, 21:21, 21:19")])
+    assert polygon_contains_polygon(deep, ring_piece)
+    assert not polygon_contains_polygon(deep, lake_piece)
+    assert not polygon_intersects_polygon(deep, lake_piece)
+    assert polygon_contains_polygon(deep, island_piece)
+    assert not polygon_contains_polygon(deep, pond_piece)
+    assert not polygon_intersects_polygon(deep, pond_piece)
+    # a band crossing from ring into lake: intersects, not contained
+    band = Polygon.from_loops([L("5:18, 5:22, 12:22, 12:18")])
+    assert polygon_intersects_polygon(deep, band)
+    assert not polygon_contains_polygon(deep, band)
+
+
+def test_annulus_in_annulus():
+    outer = Polygon.from_loops([L(COUNTRY), L(LAKE)])
+    # an annulus inside the other's ring zone
+    inner = Polygon.from_loops(
+        [L("2:2, 2:38, 8:38, 8:2"), L("4:4, 4:36, 6:36, 6:4")]
+    )
+    assert polygon_contains_polygon(outer, inner)
+    assert polygon_intersects_polygon(outer, inner)
+    assert not polygon_contains_polygon(inner, outer)
+
+
+def test_from_oriented_loops_inverts_holes():
+    lake_cw = L("10:10, 30:10, 30:30, 10:30")  # interior-on-right as input
+    p = Polygon.from_oriented_loops([L(COUNTRY), lake_cw])
+    assert [lp.depth for lp in p.loops] == [0, 1]
+    assert p.contains_point(pt(5, 5))
+    assert not p.contains_point(pt(20, 20))
+    # matches from_loops with the CCW hole
+    q = Polygon.from_loops([L(COUNTRY), L(LAKE)])
+    assert p.area() == q.area()
+
+
+def test_polygon_invert():
+    p = Polygon.from_loops([L(COUNTRY)])
+    inv = p.invert()
+    assert inv.contains_point(pt(-5, -5))
+    assert not inv.contains_point(pt(5, 5))
+    assert abs(p.area() + inv.area() - 4 * math.pi) < 1e-12
+    assert Polygon([], _nested=True).invert().is_full()
+    assert Polygon([Loop.full()], _nested=True).invert().is_empty()
+
+
+def test_loop_area_vectors():
+    # hemisphere = 2*pi exactly-ish; octant x>0,y>0,z>0 = pi/2
+    hemi = L("0:0, 0:90, 0:180, 0:-90")
+    assert abs(hemi.area() - 2 * math.pi) < 1e-12
+    octant = Loop(
+        np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    )
+    assert abs(octant.area() - math.pi / 2) < 1e-12
+    assert Loop.full().area() == 4 * math.pi
+    assert Loop.empty().area() == 0.0
+    # triangle_area unsigned: octant corners
+    a = triangle_area(
+        np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), np.array([0, 0, 1.0])
+    )
+    assert abs(a - math.pi / 2) < 1e-12
+    # area + inverted area = 4*pi
+    lp = L("10:10, 10:30, 30:30, 30:10")
+    assert abs(lp.area() + lp.invert().area() - 4 * math.pi) < 1e-10
+
+
+def test_loop_centroid_symmetry():
+    # loop symmetric about the equator: centroid z ~ 0, points toward its center
+    lp = L("-10:-10, -10:10, 10:10, 10:-10")
+    c = lp.centroid()
+    assert abs(c[2]) < 1e-15
+    cn = c / np.linalg.norm(c)
+    assert cn[0] > 0.99  # centered on lat=0, lng=0
+
+
+def test_cell_areas():
+    """exact/approx/average cell areas (cell.rs:213-251)."""
+    from rust_s2_spark.kernel import hierarchy as h
+    from rust_s2_spark.kernel.region import Cell
+
+    # the six face cells partition the sphere exactly
+    tot = sum(Cell(int(h.from_face(f))).exact_area() for f in range(6))
+    assert abs(tot - 4 * math.pi) < 1e-12
+    # children partition their parent
+    p = h.from_face_pos_level(1, 0, 5)
+    pa = Cell(int(p)).exact_area()
+    ka = sum(Cell(int(k)).exact_area() for k in h.children(p))
+    assert abs(pa - ka) < 1e-15
+    # approx within 3% always, 0.1% at level >= 5
+    for f, pos, lvl in [(0, 0, 1), (2, 7, 3), (4, 123, 8), (5, 999, 15)]:
+        c = Cell(int(h.from_face_pos_level(f, pos, lvl)))
+        ratio = c.approx_area() / c.exact_area()
+        assert abs(ratio - 1) < 0.03
+        if lvl >= 5:
+            assert abs(ratio - 1) < 0.001
+    # average area: within 1.7x of exact, and sums to 4*pi over a level
+    c8 = Cell(int(h.from_face_pos_level(3, 42, 8)))
+    assert 1 / 1.7 < c8.average_area() / c8.exact_area() < 1.7
+    n_cells_l3 = 6 * 4**3
+    assert abs(n_cells_l3 * Cell(int(h.from_face_pos_level(0, 0, 3))).average_area() - 4 * math.pi) < 1e-9

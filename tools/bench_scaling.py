@@ -63,16 +63,20 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     partitions = 128
     repeats = 4
+    # N executors for the small config (the big one is 4N); default 2 -> 8.
+    # SPARK_GRAFT_SCALE_N=1 measures 1 -> 4 executors (4 -> 16 cores), which
+    # stays under this VM's ~16-core kernel-contention ceiling.
+    base_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     subprocess.run(["make", "package"], cwd=REPO, check=True, capture_output=True)
-    r_n = run_at(2, 4, n_docs, partitions, repeats)
-    r_4n = run_at(8, 4, n_docs, partitions, repeats)
+    r_n = run_at(base_n, 4, n_docs, partitions, repeats)
+    r_4n = run_at(4 * base_n, 4, n_docs, partitions, repeats)
     eff = r_n["wall_sec"] / (4.0 * r_4n["wall_sec"])
     result = {
         "n_docs": n_docs,
         "partitions": partitions,
         "mode": "single-pass (no-checkpoint)",
-        "config_N": "local-cluster[2,4,4096] (2 executors, 8 cores)",
-        "config_4N": "local-cluster[8,4,4096] (8 executors, 32 cores)",
+        "config_N": f"local-cluster[{base_n},4,4096] ({base_n} executors, {4 * base_n} cores)",
+        "config_4N": f"local-cluster[{4 * base_n},4,4096] ({4 * base_n} executors, {16 * base_n} cores)",
         "wall_sec_N": r_n["wall_sec"],
         "wall_sec_4N": r_4n["wall_sec"],
         "walls_N": r_n["all_walls"],
