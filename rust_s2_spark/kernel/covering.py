@@ -142,6 +142,41 @@ class CellUnion:
     def leaf_cells_covered(self) -> int:
         return sum(1 << ((MAX_LEVEL - _level(c)) << 1) for c in self.ids)
 
+    def cap_bound(self):
+        """Bounding cap: area-weighted centroid axis, expanded to enclose
+        every cell's own cap bound (cellunion.rs:197-233)."""
+        from .constants import AVG_AREA
+        from .region import Cap
+        from . import hilbert
+
+        if not self.ids:
+            return Cap.empty()
+        centroid = np.zeros(3)
+        for ci in self.ids:
+            u = np.uint64(ci)
+            area = AVG_AREA.value(int(_level(ci)))
+            x, y, z = hilbert.cellid_to_xyz(u)
+            centroid += area * np.array([float(x), float(y), float(z)])
+        n = np.linalg.norm(centroid)
+        if n == 0:
+            centroid = np.array([1.0, 0.0, 0.0])
+        else:
+            centroid /= n
+        cap = Cap(centroid, 0.0)
+        for ci in self.ids:
+            cap = cap.add_cap(Cell(ci).cap_bound())
+        return cap
+
+    def rect_bound(self):
+        """Union of per-cell rect bounds (cellunion.rs:236-243)."""
+        from .pip import _rect_union
+        from .region import Rect
+
+        b = Rect.empty()
+        for ci in self.ids:
+            b = _rect_union(b, Cell(ci).rect_bound())
+        return b
+
 
 @dataclass(order=True)
 class _Candidate:

@@ -75,6 +75,22 @@ def size_ij(lvl):
     return np.int64(1) << (np.int64(MAX_LEVEL) - np.asarray(lvl).astype(np.int64))
 
 
+def size_st(lvl):
+    """Edge length in (s,t) units of a cell at ``lvl`` (cellid.rs:624-627)."""
+    return size_ij(lvl).astype(np.float64) / float(MAX_SIZE)
+
+
+def distance_from_begin(cid):
+    """Steps from from_face(0).child_begin_at_level(level) to this cell
+    (cellid.rs:585-590); vectorized, always non-negative."""
+    cid = np.asarray(cid).astype(np.uint64)
+    lvl = level(cid)
+    return (cid >> (_U(2) * (_U(MAX_LEVEL) - np.asarray(lvl).astype(np.uint64)) + _U(1))).astype(
+        np.int64
+    )
+
+
+
 def _popcount(x):
     x = _u64(x)
     x = x - ((x >> _U(1)) & _U(0x5555555555555555))

@@ -170,3 +170,46 @@ def cellid_center_st(cid):
     """CellID -> (s, t) center in face coordinates (cellid.rs:635-642)."""
     f, si, ti = _face_siti(cid)
     return f, stuv.siti_to_st(si), stuv.siti_to_st(ti)
+
+
+def cellid_center_uv(cid):
+    """CellID -> (u, v) center in face coordinates (cellid.rs:644-651)."""
+    f, s, t = cellid_center_st(cid)
+    return f, stuv.st_to_uv(s), stuv.st_to_uv(t)
+
+
+def cellid_bound_st(cid):
+    """CellID -> (face, s_lo, s_hi, t_lo, t_hi) bound (cellid.rs:653-660)."""
+    from . import hierarchy as _h
+
+    cid_u = np.asarray(cid).astype(np.uint64)
+    f, s, t = cellid_center_st(cid_u)
+    half = 0.5 * _h.size_st(_h.level(cid_u))
+    return f, s - half, s + half, t - half, t + half
+
+
+def cellid_bound_uv(cid):
+    """CellID -> (face, u_lo, u_hi, v_lo, v_hi) bound (cellid.rs:662-668)."""
+    f, s_lo, s_hi, t_lo, t_hi = cellid_bound_st(cid)
+    return f, stuv.st_to_uv(s_lo), stuv.st_to_uv(s_hi), stuv.st_to_uv(t_lo), stuv.st_to_uv(t_hi)
+
+
+def expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, distance_rad: float):
+    """Expand a (u,v) face rectangle so it contains all points within
+    ``distance_rad`` of it on the sphere (cellid.rs:750-789)."""
+    import math
+
+    def expand_endpoint(u, max_v, sin_dist):
+        sin_u_shift = sin_dist * math.sqrt((1.0 + u * u + max_v * max_v) / (1.0 + u * u))
+        cos_u_shift = math.sqrt(1.0 - sin_u_shift * sin_u_shift)
+        return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+    max_u = max(abs(u_lo), abs(u_hi))
+    max_v = max(abs(v_lo), abs(v_hi))
+    sin_dist = math.sin(distance_rad)
+    return (
+        expand_endpoint(u_lo, max_v, -sin_dist),
+        expand_endpoint(u_hi, max_v, sin_dist),
+        expand_endpoint(v_lo, max_u, -sin_dist),
+        expand_endpoint(v_hi, max_u, sin_dist),
+    )

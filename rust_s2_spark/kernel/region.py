@@ -769,6 +769,23 @@ class Rect:
     def intersects_rect(self, o: "Rect") -> bool:
         return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
 
+    def boundary_intersects(self, v0: np.ndarray, v1: np.ndarray) -> bool:
+        """Whether geodesic edge (v0, v1) intersects the rect boundary
+        (rect.rs:216-240): the two constant-lng geodesic edges plus the two
+        constant-lat small-circle edges (skipping poles/full-lng)."""
+        if self.is_empty:
+            return False
+        if not self.lng.is_full:
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.lo):
+                return True
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.hi):
+                return True
+        if self.lat.lo != -PI / 2 and _intersects_lat_edge(v0, v1, self.lat.lo, self.lng):
+            return True
+        if self.lat.hi != PI / 2 and _intersects_lat_edge(v0, v1, self.lat.hi, self.lng):
+            return True
+        return False
+
     def expanded(self, lat_margin: float, lng_margin: float) -> "Rect":
         lat = self.lat.expanded(lat_margin)
         lng = self.lng.expanded(lng_margin)

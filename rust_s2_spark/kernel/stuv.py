@@ -146,3 +146,58 @@ def xyz_to_latlng(x, y, z):
     lat = np.arctan2(z, np.sqrt(x * x + y * y))
     lng = np.arctan2(y, x)
     return np.degrees(lat), np.degrees(lng)
+
+
+# Face frame tables (stuv.rs:200-216): per-face orthonormal (u, v, w) axes
+# and the neighboring face across each axis direction.
+FACE_UVW_AXES = np.array(
+    [
+        [[0, 1, 0], [0, 0, 1], [1, 0, 0]],
+        [[-1, 0, 0], [0, 0, 1], [0, 1, 0]],
+        [[-1, 0, 0], [0, -1, 0], [0, 0, 1]],
+        [[0, 0, -1], [0, -1, 0], [-1, 0, 0]],
+        [[0, 0, -1], [1, 0, 0], [0, -1, 0]],
+        [[0, 1, 0], [1, 0, 0], [0, 0, -1]],
+    ],
+    dtype=np.float64,
+)
+
+FACE_UVW_FACES = np.array(
+    [
+        [[4, 1], [5, 2], [3, 0]],
+        [[0, 3], [5, 2], [4, 1]],
+        [[0, 3], [1, 4], [5, 2]],
+        [[2, 5], [1, 4], [0, 3]],
+        [[2, 5], [3, 0], [1, 4]],
+        [[4, 1], [3, 0], [2, 5]],
+    ],
+    dtype=np.int64,
+)
+
+
+def uvw_axis(face: int, axis: int) -> np.ndarray:
+    """Axis vector of the given face frame (stuv.rs:218-220)."""
+    return FACE_UVW_AXES[face][axis]
+
+
+def uvw_face(face: int, axis: int, direction: int) -> int:
+    """Face adjacent to the given face along +/-axis (stuv.rs:222-224)."""
+    return int(FACE_UVW_FACES[face][axis][direction])
+
+
+def u_axis(face: int) -> np.ndarray:
+    return uvw_axis(face, 0)
+
+
+def v_axis(face: int) -> np.ndarray:
+    return uvw_axis(face, 1)
+
+
+def unit_norm(face: int) -> np.ndarray:
+    return uvw_axis(face, 2)
+
+
+def face_xyz_to_uvw(face: int, p) -> np.ndarray:
+    """Project a point into the (u,v,w) coordinate frame of the face
+    (stuv.rs semantics: dot with each frame axis)."""
+    return FACE_UVW_AXES[face] @ np.asarray(p, dtype=np.float64)

@@ -1,0 +1,114 @@
+"""Completeness ops: distance_from_begin, cellid uv/st bounds,
+expanded_by_distance_uv, face uvw frames, Rect.boundary_intersects,
+CellUnion cap/rect bounds (cellid.rs:585-668, 750-789; stuv.rs:200-240;
+rect.rs:216-240; cellunion.rs:197-243)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from rust_s2_spark.kernel import hierarchy as h
+from rust_s2_spark.kernel import hilbert, stuv
+from rust_s2_spark.kernel.covering import CellUnion, RegionCoverer
+from rust_s2_spark.kernel.region import Cap, Cell, Rect, _latlng_point
+
+
+def P(lat, lng):
+    return _latlng_point(math.radians(lat), math.radians(lng))
+
+
+def test_distance_from_begin():
+    c0 = h.from_face_pos_level(0, 0, 10)
+    assert h.distance_from_begin(c0) == 0
+    cur = np.uint64(c0)
+    for want in range(1, 6):
+        cur = h.next_cell(cur)
+        assert h.distance_from_begin(cur) == want
+    # monotone across faces: first level-3 cell of face 1 is 6*... no — it's
+    # 64 cells per face at level 3
+    f1 = h.from_face_pos_level(1, 0, 3)
+    assert h.distance_from_begin(f1) == 4**3
+    # vectorized
+    arr = np.array([int(c0), int(f1)], dtype=np.uint64)
+    got = h.distance_from_begin(arr)
+    assert list(got) == [0, 4**3]
+
+
+def test_cellid_center_and_bound_uv():
+    for f, pos, lvl in [(0, 0, 10), (3, 1234, 8), (5, 77, 14)]:
+        cid = np.uint64(h.from_face_pos_level(f, pos, lvl))
+        cf, u, v = hilbert.cellid_center_uv(cid)
+        bf, u_lo, u_hi, v_lo, v_hi = hilbert.cellid_bound_uv(cid)
+        assert int(cf) == int(bf) == f
+        assert u_lo < u < u_hi and v_lo < v < v_hi
+        # bound must match the Cell decode exactly
+        cell = Cell(int(cid))
+        assert math.isclose(u_lo, cell.u_lo, abs_tol=1e-15)
+        assert math.isclose(u_hi, cell.u_hi, abs_tol=1e-15)
+        assert math.isclose(v_lo, cell.v_lo, abs_tol=1e-15)
+        assert math.isclose(v_hi, cell.v_hi, abs_tol=1e-15)
+
+
+def test_expanded_by_distance_uv():
+    cid = np.uint64(h.from_face_pos_level(2, 99, 12))
+    _, u_lo, u_hi, v_lo, v_hi = hilbert.cellid_bound_uv(cid)
+    e = hilbert.expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, 0.01)
+    assert e[0] < u_lo and e[1] > u_hi and e[2] < v_lo and e[3] > v_hi
+    # shrink with negative distance
+    s = hilbert.expanded_by_distance_uv(u_lo, u_hi, v_lo, v_hi, -1e-6)
+    assert s[0] > u_lo and s[1] < u_hi
+
+
+def test_face_uvw_frames():
+    for f in range(6):
+        u, v, w = stuv.u_axis(f), stuv.v_axis(f), stuv.unit_norm(f)
+        # right-handed orthonormal frame
+        assert np.allclose(np.cross(u, v), w)
+        assert abs(float(u @ v)) < 1e-15
+        # w is the face normal: center of face f maps to +w
+        x, y, z = stuv.face_uv_to_xyz(f, 0.0, 0.0)
+        assert np.allclose([float(x), float(y), float(z)], w)
+        # neighbor table: u/v axes name adjacent faces; the +w entry is the
+        # face itself and the -w entry its antipode
+        for axis in range(2):
+            for d in (0, 1):
+                g = stuv.uvw_face(f, axis, d)
+                assert 0 <= g < 6 and g != f
+        assert stuv.uvw_face(f, 2, 1) == f
+        assert stuv.uvw_face(f, 2, 0) == (f + 3) % 6
+    # projection into the frame recovers (u, v, w) dots
+    p = P(10, 20)
+    uvw = stuv.face_xyz_to_uvw(0, p)
+    assert np.allclose(
+        uvw, [float(p @ stuv.u_axis(0)), float(p @ stuv.v_axis(0)), float(p @ stuv.unit_norm(0))]
+    )
+
+
+def test_rect_boundary_intersects():
+    r = Rect.from_degrees(10, 10, 30, 30)
+    assert r.boundary_intersects(P(20, 5), P(20, 20))  # crosses west lng edge
+    assert r.boundary_intersects(P(25, 20), P(35, 20))  # crosses north lat edge
+    assert not r.boundary_intersects(P(15, 15), P(25, 25))  # fully inside
+    assert not r.boundary_intersects(P(50, 50), P(60, 60))  # fully outside
+    assert not Rect.empty().boundary_intersects(P(0, 0), P(1, 1))
+    # edge spanning the whole rect crosses both lng edges
+    assert r.boundary_intersects(P(20, 0), P(20, 40))
+
+
+def test_cellunion_bounds():
+    cap = Cap.from_latlng_radius(40.0, -100.0, 3.0)
+    cu = RegionCoverer(max_cells=8).covering(cap)
+    cb = cu.cap_bound()
+    rb = cu.rect_bound()
+    for ci in cu.ids:
+        c = Cell(ci)
+        for k in range(4):
+            v = c.vertex(k)
+            assert cb.contains_point(v)
+            lat = math.atan2(v[2], math.hypot(v[0], v[1]))
+            lng = math.atan2(v[1], v[0])
+            assert rb.contains_latlng_rad(lat, lng)
+    assert CellUnion([]).rect_bound().is_empty
+    assert CellUnion([]).cap_bound().radius2 < 0  # empty cap sentinel
