@@ -713,6 +713,40 @@ FROM p WHERE ({parity}) % 2 = 1 AND ({margin})
 """
 
 
+def o_poly_overlay_join() -> str:
+    """Membership in union/intersection/difference re-derived WITHOUT the
+    overlay kernel: boolean algebra over the two operands' convex edge-sign
+    tests (margin-excluded near every edge plane of either operand)."""
+    xyz = _XYZ.format(id="event_id", src="pts")
+    tests = []
+    margins = []
+    for ring in (specs.OVERLAY_A, specs.OVERLAY_B):
+        verts = specs.polygon_vertices_xyz(ring)
+        n = len(verts)
+        dets = []
+        for k in range(n):
+            a, b = verts[k], verts[(k + 1) % n]
+            cx = a[1] * b[2] - a[2] * b[1]
+            cy = a[2] * b[0] - a[0] * b[2]
+            cz = a[0] * b[1] - a[1] * b[0]
+            d = f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+            dets.append(d)
+            margins.append(f"abs({d}) > {specs.f(specs.PIP_MARGIN)}")
+        tests.append("(" + " AND ".join(f"{d} > 0" for d in dets) + ")")
+    in_a, in_b = tests
+    margin = " AND ".join(margins)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+m AS (SELECT event_id, {in_a} AS ia, {in_b} AS ib FROM p WHERE {margin})
+SELECT 'ovl_union' AS region_id, event_id FROM m WHERE ia OR ib
+UNION ALL
+SELECT 'ovl_inter' AS region_id, event_id FROM m WHERE ia AND ib
+UNION ALL
+SELECT 'ovl_diff' AS region_id, event_id FROM m WHERE ia AND NOT ib
+"""
+
+
 def _region_triangle_values() -> str:
     """VALUES rows (region_id, sign, ax..cz): every region decomposed into
     its triangle fan with the per-ring depth sign, vertex coords as
@@ -878,6 +912,7 @@ ORACLES = {
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_poly_nested_join": o_poly_nested_join,
+    "s2_poly_overlay_join": o_poly_overlay_join,
     "s2_region_area_stats": o_region_area_stats,
     "s2_knn": o_knn,
     "s2_knn_cellring": o_knn,

@@ -387,6 +387,105 @@ def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.cache
+def _overlay_setup():
+    """Build union/intersection/difference polygons of the spec operand pair
+    via the boolean overlay kernel, plus their coverings."""
+    from ..kernel.overlay import loop_overlay
+    from ..kernel.pip import Loop
+
+    a = Loop(np.asarray(specs.polygon_vertices_xyz(specs.OVERLAY_A), dtype=np.float64))
+    b = Loop(np.asarray(specs.polygon_vertices_xyz(specs.OVERLAY_B), dtype=np.float64))
+    coverer = RegionCoverer(max_cells=16)
+    polys = {}
+    cov_rows = []
+    for op, rid in (("union", "ovl_union"), ("intersection", "ovl_inter"), ("difference", "ovl_diff")):
+        p = loop_overlay(a, b, op)
+        polys[rid] = p
+        cov_rows.extend(_cov_rows_for(rid, coverer.covering(p).ids))
+    return polys, tuple(cov_rows)
+
+
+def _overlay_edge_crosses() -> list[tuple[float, float, float]]:
+    out = []
+    for ring in (specs.OVERLAY_A, specs.OVERLAY_B):
+        verts = specs.polygon_vertices_xyz(ring)
+        n = len(verts)
+        for k in range(n):
+            p, q = verts[k], verts[(k + 1) % n]
+            out.append(
+                (
+                    p[1] * q[2] - p[2] * q[1],
+                    p[2] * q[0] - p[0] * q[2],
+                    p[0] * q[1] - p[1] * q[0],
+                )
+            )
+    return out
+
+
+# Per-executor memo of rebuilt overlay polygons.
+_OVERLAY_UDF_CACHE: dict[int, dict] = {}
+
+
+def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-overlay spatial join: events classified against the UNION,
+    INTERSECTION and DIFFERENCE polygons constructed by the overlay kernel
+    (kernel/overlay.py — a capability the reference engine lacks entirely).
+    The oracle never sees the overlay: it recomputes membership as the
+    boolean algebra of the two operands' convex edge-sign tests, so a wrong
+    overlay boundary flips rows and fails the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = events_geo(spark, sf_dir)
+    polys, cov_rows = _overlay_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    ok = F.lit(True)
+    for cx, cy, cz in _overlay_edge_crosses():
+        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
+        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    coarse = coarse.where(ok)
+
+    # ship the overlay polygons' loop vertex arrays + depths; rebuild once
+    # per executor (Polygon precompute memoized)
+    payload = {
+        rid: [(lp.vertices.copy(), lp.depth) for lp in p.loops]
+        for rid, p in polys.items()
+    }
+    bc = spark.sparkContext.broadcast(payload)
+    key = id(bc)
+
+    @pandas_udf("boolean")
+    def _inside(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.pip import Loop, Polygon
+
+        cache = _OVERLAY_UDF_CACHE.setdefault(key, {})
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        x, y, z = cl * np.cos(ln), cl * np.sin(ln), np.sin(la)
+        out = np.zeros(len(lat), dtype=bool)
+        rids = region_id.to_numpy()
+        for rid in pd.unique(rids):
+            if rid not in cache:
+                loops = []
+                for verts, depth in bc.value[rid]:
+                    lp = Loop(verts)
+                    lp.depth = depth
+                    loops.append(lp)
+                cache[rid] = Polygon(loops, _nested=True)
+            m = rids == rid
+            out[m] = cache[rid].contains_points(x[m], y[m], z[m])
+        return pd.Series(out)
+
+    refined = coarse.where(_inside(F.col("region_id"), F.col("lat"), F.col("lng")))
+    return refined.select("region_id", "event_id")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest events per query point by squared chord distance.
 
@@ -1233,6 +1332,7 @@ QUERIES = {
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_poly_nested_join": q_poly_nested_join,
+    "s2_poly_overlay_join": q_poly_overlay_join,
     "s2_region_area_stats": q_region_area_stats,
     "s2_knn": q_knn,
     "s2_knn_cellring": q_knn_cellring,

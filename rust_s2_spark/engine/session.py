@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
+        # JVM-side twin of the malloc tuning: pre-touch the executor heap at
+        # startup so allocation-heavy stages (doc synth string building,
+        # shuffle buffers) never grow the heap mid-job — dynamic heap growth
+        # funnels through the same host mmap_lock that serializes the python
+        # workers.  ParallelGC beats G1 here: small heaps, throughput-bound
+        # batch stages, no latency targets.
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         # Iceberg catalog wiring: active automatically when the runtime ships

@@ -107,6 +107,13 @@ PIP_MARGIN = 1e-12  # exclude points this close to an edge plane (both sides)
 # Deeply nested polygon (country > lake > island > pond), all rings CCW and
 # convex; polygon interior = points inside an ODD number of rings
 # (polygon.rs:140-161 parity convention).
+# Overlay operand pair (convex CCW rings, overlapping at a corner): the
+# engine builds union/intersection/difference polygons from these via the
+# boolean overlay kernel; the oracle re-derives membership as boolean
+# algebra of per-ring edge-sign tests.
+OVERLAY_A = [(0.0, 0.0), (0.0, 25.0), (25.0, 25.0), (25.0, 0.0)]
+OVERLAY_B = [(12.0, 12.0), (12.0, 38.0), (38.0, 38.0), (38.0, 12.0)]
+
 NESTED_POLYGON_ID = "poly_nested_country"
 NESTED_RINGS = [
     [(0.0, 0.0), (0.0, 40.0), (40.0, 40.0), (40.0, 0.0)],

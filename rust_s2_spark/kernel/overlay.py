@@ -1,0 +1,199 @@
+"""Boolean overlay of spherical loops: union / intersection / difference.
+
+The reference engine has no overlay at all; this builds it on the robust
+kernels it does define — ``crossing_sign`` (edge_crosser.rs) to find
+crossing edge pairs, ``edge_intersection`` (edge_crossings.rs:159-395) for
+the intersection points, and the Loop/Polygon relation algebra for the
+no-crossing fast paths.  The construction is Weiler-Atherton on the
+sphere:
+
+  1. every A-edge is split at its intersections with B-edges (and vice
+     versa), ordered along the edge;
+  2. each sub-segment is classified by whether its midpoint lies inside
+     the other loop;
+  3. segments are selected per operator (union keeps outside-segments,
+     intersection keeps inside-segments, difference keeps A-outside plus
+     REVERSED B-inside) and stitched into output loops by walking the
+     shared intersection nodes.
+
+Degenerate inputs (shared vertices, overlapping collinear edges) are not
+supported — ``find_validation_error`` plus a crossing-sign pre-check
+reject them — which matches the scope of a v1 overlay; points exactly on
+a boundary classify arbitrarily but consistently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .pip import (
+    CROSS,
+    EdgeCrosser,
+    Loop,
+    Polygon,
+    edge_intersection,
+    loop_contains_loop,
+    loop_intersects_loop,
+)
+
+__all__ = ["loop_overlay", "loop_union", "loop_intersection", "loop_difference"]
+
+
+def _node_key(p: np.ndarray) -> tuple:
+    """Merge key for intersection points (INTERSECTION_MERGE_RADIUS scale)."""
+    return tuple(np.round(p, 12))
+
+
+def _split_chains(a: Loop, b: Loop, crossings) -> dict:
+    """For each loop, the vertex chain with intersection points spliced in.
+
+    Returns {'A': [list of (point, key, is_xing)], 'B': [...]}, in loop
+    order.  ``crossings`` is {(i, j): point}.
+    """
+    out = {}
+    for name, lp, idx in (("A", a, 0), ("B", b, 1)):
+        n = len(lp.vertices)
+        per_edge: dict[int, list] = {k: [] for k in range(n)}
+        for (i, j), p in crossings.items():
+            e = (i, j)[idx]
+            v0 = lp.vertex(e)
+            v1 = lp.vertex(e + 1)
+            # order along the edge by angle from v0 (monotone for < pi edges)
+            t = float(np.arctan2(np.linalg.norm(np.cross(v0, p)), v0 @ p))
+            per_edge[e].append((t, p))
+        chain = []
+        for k in range(n):
+            v = lp.vertex(k)
+            chain.append((v, _node_key(v), False))
+            for _, p in sorted(per_edge[k], key=lambda tp: tp[0]):
+                chain.append((p, _node_key(p), True))
+        out[name] = chain
+    return out
+
+
+def _segments(chain, other: Loop, keep_inside: bool, reverse: bool):
+    """Cut the chain at intersection nodes, classify each run of segments by
+    its midpoint, keep runs matching ``keep_inside``; optionally reverse."""
+    n = len(chain)
+    # runs between consecutive crossing nodes (the chain is cyclic)
+    xing_pos = [i for i, (_, _, x) in enumerate(chain) if x]
+    runs = []
+    if not xing_pos:
+        runs.append(list(range(n)) + [0])
+    else:
+        for a_i, b_i in zip(xing_pos, xing_pos[1:] + [xing_pos[0] + n]):
+            runs.append([p % n for p in range(a_i, b_i + 1)])
+    kept = []
+    for run in runs:
+        pts = [chain[p][0] for p in run]
+        # classify by a midpoint of the first sub-segment (strictly interior
+        # to the run, never an intersection node)
+        mid = pts[0] + pts[1]
+        mid = mid / np.linalg.norm(mid)
+        inside = other.contains_point(mid)
+        if inside == keep_inside:
+            if reverse:
+                pts = pts[::-1]
+            kept.append([(p, _node_key(p)) for p in pts])
+    return kept
+
+
+def _stitch(pieces) -> list[Loop]:
+    """Join open chains end-to-start at shared node keys into closed loops."""
+    open_by_start: dict[tuple, list] = {}
+    for piece in pieces:
+        open_by_start.setdefault(piece[0][1], []).append(piece)
+    loops = []
+    used = set()
+    for piece in pieces:
+        if id(piece) in used:
+            continue
+        cur = piece
+        used.add(id(cur))
+        verts = [p for p, _ in cur[:-1]]
+        end_key = cur[-1][1]
+        start_key = cur[0][1]
+        guard = 0
+        while end_key != start_key:
+            nxts = [c for c in open_by_start.get(end_key, []) if id(c) not in used]
+            if not nxts:
+                raise ValueError("overlay stitch failed: open chain (degenerate input?)")
+            nxt = nxts[0]
+            used.add(id(nxt))
+            verts.extend(p for p, _ in nxt[:-1])
+            end_key = nxt[-1][1]
+            guard += 1
+            if guard > len(pieces):
+                raise ValueError("overlay stitch failed: cycle not closing")
+        # drop duplicate consecutive vertices (node merge artifacts)
+        clean = []
+        for v in verts:
+            if not clean or not np.array_equal(clean[-1], v):
+                clean.append(v)
+        if len(clean) >= 3:
+            loops.append(Loop(np.array(clean)))
+    return loops
+
+
+def loop_overlay(a: Loop, b: Loop, op: str) -> Polygon:
+    """Boolean overlay of two loops: op in {'union', 'intersection',
+    'difference'} (difference = A minus B).  Returns a Polygon (possibly
+    empty, possibly multiple shells)."""
+    if op not in ("union", "intersection", "difference"):
+        raise ValueError(f"unknown overlay op: {op}")
+    # find all crossing edge pairs
+    crossings = {}
+    na, nb = len(a.vertices), len(b.vertices)
+    for i in range(na):
+        a0, a1 = a.vertex(i), a.vertex(i + 1)
+        crosser = EdgeCrosser(a0, a1)
+        for j in range(nb):
+            if crosser.crossing_sign(b.vertex(j), b.vertex(j + 1)) == CROSS:
+                crossings[(i, j)] = edge_intersection(
+                    a0, a1, b.vertex(j), b.vertex(j + 1)
+                )
+    if not crossings:
+        # nested or disjoint
+        if loop_contains_loop(a, b):
+            if op == "union":
+                return Polygon.from_loops([a])
+            if op == "intersection":
+                return Polygon.from_loops([b])
+            return Polygon.from_loops([a, b])  # b becomes the hole
+        if loop_contains_loop(b, a):
+            if op == "union":
+                return Polygon.from_loops([b])
+            if op == "intersection":
+                return Polygon.from_loops([a])
+            return Polygon([], _nested=True)
+        if not loop_intersects_loop(a, b):
+            if op == "union":
+                return Polygon.from_loops([a, b])  # two shells
+            if op == "intersection":
+                return Polygon([], _nested=True)
+            return Polygon.from_loops([a])
+        raise ValueError("loops share boundary without proper crossings (degenerate)")
+    chains = _split_chains(a, b, crossings)
+    if op == "union":
+        pieces = _segments(chains["A"], b, keep_inside=False, reverse=False)
+        pieces += _segments(chains["B"], a, keep_inside=False, reverse=False)
+    elif op == "intersection":
+        pieces = _segments(chains["A"], b, keep_inside=True, reverse=False)
+        pieces += _segments(chains["B"], a, keep_inside=True, reverse=False)
+    else:  # difference: A outside B, plus B inside A walked backwards
+        pieces = _segments(chains["A"], b, keep_inside=False, reverse=False)
+        pieces += _segments(chains["B"], a, keep_inside=True, reverse=True)
+    loops = _stitch(pieces)
+    return Polygon.from_loops(loops) if loops else Polygon([], _nested=True)
+
+
+def loop_union(a: Loop, b: Loop) -> Polygon:
+    return loop_overlay(a, b, "union")
+
+
+def loop_intersection(a: Loop, b: Loop) -> Polygon:
+    return loop_overlay(a, b, "intersection")
+
+
+def loop_difference(a: Loop, b: Loop) -> Polygon:
+    return loop_overlay(a, b, "difference")

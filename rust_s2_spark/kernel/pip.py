@@ -909,7 +909,14 @@ def loop_contains_nested(a: "Loop", b: "Loop") -> bool:
 
 def _order_nested(loops: list["Loop"]) -> list["Loop"]:
     """Assign depths and return loops in preorder of the nesting forest
-    (polygon.rs:218-346 init_nested/build_loop_hierarchy semantics)."""
+    (polygon.rs:218-346 init_nested/build_loop_hierarchy semantics).
+
+    Loops are shallow-cloned before the depth assignment so constructing a
+    Polygon never mutates caller-owned Loop objects (vertices and the
+    precomputed bounds stay shared)."""
+    import copy as _copy
+
+    loops = [_copy.copy(lp) for lp in loops]
     n = len(loops)
     if n <= 1:
         for lp in loops:
@@ -975,16 +982,20 @@ class Polygon:
     def from_oriented_loops(loops: list[Loop]) -> "Polygon":
         """Loops oriented with the polygon interior on their left; holes are
         auto-inverted (polygon.rs:169-211)."""
-        contained_origin = {id(lp): lp.contains_origin() for lp in loops}
         norm = []
         for lp in loops:
+            inverted = False
             angle = lp.turning_angle()
             if abs(angle) > lp.turning_angle_max_error():
                 if angle < 0.0:
                     lp = lp.invert()
+                    inverted = True
             else:
                 if lp.contains_origin():
                     lp = lp.invert()
+                    inverted = True
+            # annotation survives Polygon's defensive loop cloning
+            lp._oriented_was_inverted = inverted
             norm.append(lp)
         p = Polygon.from_loops(norm)
         if p.num_loops() > 0:
@@ -994,11 +1005,10 @@ class Polygon:
                 if lp.contains_origin():
                     polygon_contains_origin = not polygon_contains_origin
                     origin_loop = lp
-            want = contained_origin.get(id(origin_loop))
-            # id() survives only for non-inverted loops; inverted ones flip
-            # origin containment by construction, so a miss means "flipped".
-            if want is None:
-                want = not origin_loop.contains_origin()
+            # the INPUT loop's origin containment = current, un-flipped
+            want = origin_loop.contains_origin() != getattr(
+                origin_loop, "_oriented_was_inverted", False
+            )
             if want != polygon_contains_origin:
                 p = p.invert()
         return p
@@ -1050,15 +1060,20 @@ class Polygon:
             angle = self.loops[i].turning_angle()
             if angle < best_angle:
                 best, best_angle = i, angle
+        import copy as _copy
+
         last_best = self.last_descendant(best)
         new_loops = [self.loops[best].invert()]
         new_loops[0].depth = 0
+        # clone before re-depthing: self's loops must stay untouched
         for i, lp in enumerate(self.loops):
             if i < best or i > last_best:
+                lp = _copy.copy(lp)
                 lp.depth += 1
                 new_loops.append(lp)
         for i, lp in enumerate(self.loops):
             if best < i <= last_best:
+                lp = _copy.copy(lp)
                 lp.depth -= 1
                 new_loops.append(lp)
         return Polygon(new_loops, _nested=True)

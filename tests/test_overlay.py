@@ -1,0 +1,105 @@
+"""Boolean overlay of spherical loops (kernel/overlay.py).
+
+Verification strategy: exact area identities (area(U) + area(I) =
+area(A) + area(B); area(A-B) = area(A) - area(I)) plus pointwise
+classification equivalence (overlay polygon membership == boolean algebra
+of input memberships) on probe grids.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rust_s2_spark.kernel.overlay import (
+    loop_difference,
+    loop_intersection,
+    loop_overlay,
+    loop_union,
+)
+from rust_s2_spark.kernel.pip import Loop
+from rust_s2_spark.kernel.region import _latlng_point
+
+
+def L(t):
+    return Loop.from_latlng_text(t)
+
+
+def P(lat, lng):
+    return _latlng_point(math.radians(lat), math.radians(lng))
+
+
+def _check_pair(a: Loop, b: Loop, probes):
+    u = loop_union(a, b)
+    i = loop_intersection(a, b)
+    d = loop_difference(a, b)
+    assert abs(u.area() + i.area() - (a.area() + b.area())) < 1e-12
+    assert abs(d.area() - (a.area() - i.area())) < 1e-12
+    for la, ln in probes:
+        p = P(la, ln)
+        ia, ib = a.contains_point(p), b.contains_point(p)
+        assert u.contains_point(p) == (ia or ib), (la, ln, "union")
+        assert i.contains_point(p) == (ia and ib), (la, ln, "intersection")
+        assert d.contains_point(p) == (ia and not ib), (la, ln, "difference")
+    return u, i, d
+
+
+GRID = [(la, ln) for la in range(-6, 36, 4) for ln in range(-12, 36, 5)]
+
+
+def test_corner_overlap():
+    a = L("0:0, 0:20, 20:20, 20:0")
+    b = L("10:10, 10:30, 30:30, 30:10")
+    u, i, d = _check_pair(a, b, GRID)
+    assert u.num_loops() == 1 and i.num_loops() == 1 and d.num_loops() == 1
+    # intersection of these convex quads approximates the 10..20 square;
+    # not exact because lat-parallel quad edges are geodesics, not parallels
+    sq = L("10:10, 10:20, 20:20, 20:10")
+    assert abs(i.area() - sq.area()) < 1e-3
+
+
+def test_band_split_two_pieces():
+    a = L("0:0, 0:20, 30:20, 30:0")
+    b = L("10:-10, 10:30, 20:30, 20:-10")
+    u, i, d = _check_pair(a, b, GRID)
+    assert d.num_loops() == 2  # the band cuts A into two shells
+    assert u.num_loops() == 1
+
+
+def test_nested_and_disjoint_fast_paths():
+    a = L("0:0, 0:30, 30:30, 30:0")
+    inner = L("5:5, 5:15, 15:15, 15:5")
+    far = L("50:50, 50:60, 60:60, 60:50")
+    # nested
+    assert loop_union(a, inner).area() == a.area()
+    assert loop_intersection(a, inner).area() == inner.area()
+    d = loop_difference(a, inner)
+    assert abs(d.area() - (a.area() - inner.area())) < 1e-15
+    assert [lp.depth for lp in d.loops] == [0, 1]  # hole polygon
+    # reversed nesting
+    assert loop_difference(inner, a).is_empty()
+    # disjoint
+    assert loop_union(a, far).num_loops() == 2
+    assert loop_intersection(a, far).is_empty()
+    assert loop_difference(a, far).area() == a.area()
+
+
+def test_pentagon_quad_overlay():
+    a = L("0:0, -5:12, 3:24, 14:20, 12:4")  # convex-ish pentagon
+    b = L("5:10, 5:35, 25:35, 25:10")
+    _check_pair(a, b, GRID)
+
+
+def test_symmetry():
+    a = L("0:0, 0:20, 20:20, 20:0")
+    b = L("10:10, 10:30, 30:30, 30:10")
+    assert abs(loop_union(a, b).area() - loop_union(b, a).area()) < 1e-12
+    assert abs(loop_intersection(a, b).area() - loop_intersection(b, a).area()) < 1e-12
+
+
+def test_unknown_op_rejected():
+    a = L("0:0, 0:20, 20:20, 20:0")
+    with pytest.raises(ValueError):
+        loop_overlay(a, a, "xor")
