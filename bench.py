@@ -23,6 +23,8 @@ HEADLINE = [
     "s2_cap_join",
     "s2_rect_join",
     "s2_pip_join",
+    "s2_poly_nested_join",
+    "s2_poly_overlay_join",
     "s2_knn",
     "s2_segment_distance",
     "dedup_exact",
