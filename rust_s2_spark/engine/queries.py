@@ -254,7 +254,10 @@ def _nested_setup():
         for r in specs.NESTED_RINGS
     ]
     poly = Polygon.from_loops(loops)
-    coverer = RegionCoverer(max_cells=16)
+    # max_level caps corner subdivision: without it the coverer emits a few
+    # leaf-level cells at ring corners, which adds a useless explode branch
+    # (level-30 ancestors) to every doc row in the covering join
+    coverer = RegionCoverer(max_cells=16, max_level=12)
     cov = tuple(_cov_rows_for(specs.NESTED_POLYGON_ID, coverer.covering(poly).ids))
     return poly, cov
 
@@ -396,7 +399,7 @@ def _overlay_setup():
 
     a = Loop(np.asarray(specs.polygon_vertices_xyz(specs.OVERLAY_A), dtype=np.float64))
     b = Loop(np.asarray(specs.polygon_vertices_xyz(specs.OVERLAY_B), dtype=np.float64))
-    coverer = RegionCoverer(max_cells=16)
+    coverer = RegionCoverer(max_cells=16, max_level=12)
     polys = {}
     cov_rows = []
     for op, rid in (("union", "ovl_union"), ("intersection", "ovl_inter"), ("difference", "ovl_diff")):

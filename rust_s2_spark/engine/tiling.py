@@ -43,19 +43,18 @@ __all__ = [
 # SparkSession for DDL-type parsing); factories are memoized per process.
 _UDF_CACHE: dict[str, object] = {}
 
-# 6-bit Hilbert LOOKUP_POS (16384 entries) packed big-endian 2-bytes-per-entry
-# into ONE BinaryType literal.  Why binary, not array: a Literal wrapping
-# ArrayData hashes/compares ALL elements every time an optimizer rule
-# canonicalizes the plan (O(16384) per visit — measured ~100 s planning when
-# a filter inlines the encode), while an Array[Byte] literal hash is the JVM
+# Canonical 4-bit Hilbert LOOKUP_POS (1024 entries) packed big-endian
+# 2-bytes-per-entry into ONE BinaryType literal.  Why binary, not array: a
+# Literal wrapping ArrayData hashes/compares ALL elements every time an
+# optimizer rule canonicalizes the plan (measured ~100 s of planning when a
+# filter inlined the encode), while an Array[Byte] literal hash is the JVM
 # identity hash, O(1).  Lookup = substring (byte slice) + hex + conv.
-# 6-bit rounds mean the 30-bit walk needs only 5 rounds instead of 8: the
-# walk's recurrence doubles expression references per round when Catalyst
-# substitutes it (filter/join pushdown), so fewer rounds keep plans sane.
-_LOOKUP_POS6 = bytes(
-    b
-    for v in hilbert._build_lookup_tables(6)[0]
-    for b in int(v).to_bytes(2, "big")
+# Why 4-bit (8 rounds) over 6-bit (5 rounds): the literal appears once per
+# round in the plan, and planning cost tracks total literal bytes — 8 x 2 KB
+# plans in ~1.3 s where 5 x 32 KB cost ~4.5 s per query; the nondeterministic
+# output barrier below keeps the round count out of any rewrite blow-up.
+_LOOKUP_POS_BYTES = bytes(
+    b for v in hilbert.LOOKUP_POS for b in int(v).to_bytes(2, "big")
 )
 
 
@@ -110,9 +109,7 @@ def with_leaf_cellid(
     """(lat_deg, lng_deg) -> leaf CellID column, PURE Spark Column math.
 
     Zero Python in the hot path: trig + face/uv/st projection as JVM math,
-    then the 30-bit Hilbert walk as 5 rounds of 6-bit lookups
-    (cellid.rs:135-154 semantics; the canonical kernel uses 8x4-bit — both
-    encode identically by construction, pinned in tests).
+    then the canonical 8-round 4-bit Hilbert walk (cellid.rs:135-154).
 
     Plan-shape discipline — the part that makes this viable in Catalyst:
 
@@ -120,9 +117,11 @@ def with_leaf_cellid(
       CASE trees reference attributes, not nested copies (a fully inlined
       single Column measured a 6.5 MB expression tree: face is referenced
       5x per uv branch and i/j 3x per walk round, which compounds);
-    * the 16384-entry LOOKUP_POS is ONE BinaryType literal (2 bytes/entry,
+    * the 1024-entry LOOKUP_POS is ONE BinaryType literal (2 bytes/entry,
       byte-slice + hex + conv lookup).  Array literals hash all elements on
-      every optimizer canonicalization; a byte[] literal hashes O(1);
+      every optimizer canonicalization; a byte[] literal hashes O(1), and
+      keeping it small (2 KB, not a 6-bit 32 KB table) keeps per-query
+      planning at ~1.3 s instead of ~4.5 s;
     * the final column carries a value-preserving nondeterministic marker
       (+ 0 * rand()): CollapseProject and predicate pushdown then treat the
       encode as a barrier, so downstream filters/derivations reference the
@@ -185,21 +184,21 @@ def with_leaf_cellid(
 
     df = df.withColumns({P + "i": _st_to_ij(u), P + "j": _st_to_ij(v)})
     i, j = F.col(P + "i"), F.col(P + "j")
-    # 5-round Hilbert walk inline over attribute inputs: reference growth is
+    # 8-round Hilbert walk inline over attribute inputs: reference growth is
     # linear (each round's lookup feeds the cell nibble + next orientation).
-    lut = F.lit(bytearray(_LOOKUP_POS6))
+    lut = F.lit(bytearray(_LOOKUP_POS_BYTES))
     n = F.shiftleft(face, POS_BITS - 1)
     bits = face.bitwiseAND(F.lit(1))  # face & SWAP_MASK
-    for k in range(4, -1, -1):
+    for k in range(7, -1, -1):
         idx = (
             bits
-            + F.shiftleft(F.shiftright(i, k * 6).bitwiseAND(F.lit(63)), 8)
-            + F.shiftleft(F.shiftright(j, k * 6).bitwiseAND(F.lit(63)), 2)
+            + F.shiftleft(F.shiftright(i, k * 4).bitwiseAND(F.lit(15)), 6)
+            + F.shiftleft(F.shiftright(j, k * 4).bitwiseAND(F.lit(15)), 2)
         )
         lk = F.conv(F.hex(F.substring(lut, (idx * 2 + 1).cast("int"), 2)), 16, 10).cast(
             "long"
         )
-        n = n.bitwiseOR(F.shiftleft(F.shiftright(lk, 2), k * 12))
+        n = n.bitwiseOR(F.shiftleft(F.shiftright(lk, 2), k * 8))
         bits = lk.bitwiseAND(F.lit(3))  # SWAP_MASK | INVERT_MASK
     cell = F.shiftleft(n, 1).bitwiseOR(F.lit(1))
     barrier = (F.rand(0) * 0).cast("long")  # value-preserving pushdown barrier
