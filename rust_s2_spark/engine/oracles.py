@@ -818,7 +818,7 @@ t1 AS (
 ),
 t2 AS (
   SELECT *,
-    2 * atan(det / (1.0 + abs(dab) + abs(dbc) + abs(dca))) AS tri_area,
+    2 * atan2(det, 1.0 + dab + dbc + dca) AS tri_area,
     CASE WHEN sa = 0 THEN 1.0 ELSE sa / sin(sa) END AS ra,
     CASE WHEN sb = 0 THEN 1.0 ELSE sb / sin(sb) END AS rb,
     CASE WHEN sc = 0 THEN 1.0 ELSE sc / sin(sc) END AS rc

