@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 from . import ingest, tiling
 
-__all__ = ["stream_docs", "stream_tile_counts", "run_stream_to_memory"]
+__all__ = [
+    "stream_docs",
+    "stream_tile_counts",
+    "run_stream_to_memory",
+    "stream_sessions",
+    "batch_sessions_reference",
+    "stream_cap_join",
+    "run_stream_cap_join_to_memory",
+]
 
 
 def stream_docs(spark: SparkSession, rows_per_batch: int = 1000) -> DataFrame:
@@ -187,3 +195,60 @@ def batch_sessions_reference(spark: SparkSession, n_rows: int) -> DataFrame:
     return agg.join(last, "user_id").where(F.col("session_no") < F.col("last_no")).drop(
         "last_no"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static spatial join: streaming docs vs the static covering table
+# ---------------------------------------------------------------------------
+
+
+def stream_cap_join(
+    spark: SparkSession,
+    docs: DataFrame,
+    regions: DataFrame,
+    coverings: DataFrame,
+    levels: list[int],
+) -> DataFrame:
+    """Continuous cap-containment spatial join: the streaming side explodes
+    leaf cellids to the coverings' levels (same bit-math Columns as batch),
+    then a stream-static broadcast hash join + the JVM chord refine.  The
+    static side (regions + normalized coverings) is the broadcast dimension
+    — the scale shape as batch cap_join, per micro-batch."""
+    from .join import cap_join
+
+    geo_text = F.filter("spans", lambda s: s["kind"] == F.lit("geo"))[0]["text"]
+    parts = F.split(geo_text, ":")
+    g = docs.select(
+        "ts",
+        "doc_id",
+        parts[0].cast("double").alias("lat"),
+        parts[1].cast("double").alias("lng"),
+    )
+    g = tiling.with_leaf_cellid(g)
+    return cap_join(g, regions, coverings, id_col="doc_id", levels=levels).select(
+        "region_id", "doc_id"
+    )
+
+
+def run_stream_cap_join_to_memory(
+    spark: SparkSession,
+    rows_per_batch: int = 500,
+    query_name: str = "stream_cap_hits",
+):
+    """Bounded-run harness: drain available micro-batches of the stream-static
+    spatial join into a memory sink."""
+    from .queries import _cap_setup
+
+    regions, coverings, levels = _cap_setup(spark)
+    hits = stream_cap_join(
+        spark, stream_docs(spark, rows_per_batch), regions, coverings, levels
+    )
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

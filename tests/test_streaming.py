@@ -78,3 +78,44 @@ def test_stateful_sessionization_matches_batch(spark):
     want = {tuple(r) for r in batch_sessions_reference(spark, consumed).collect()}
     assert got, "no closed sessions emitted"
     assert got == want
+
+
+def test_stream_cap_join_matches_batch(spark):
+    """Stream-static spatial join: hits from the streaming covering join +
+    chord refine must equal the batch cap_join on the same doc indices."""
+    streaming.run_stream_cap_join_to_memory(
+        spark, rows_per_batch=400, query_name="sc_test"
+    )
+    got = spark.table("sc_test").select("region_id", "doc_id").collect()
+    got_set = {(r["region_id"], r["doc_id"]) for r in got}
+
+    # how many docs were streamed = max doc index + 1 (doc ids are dense)
+    n = spark.table("sc_test").count()  # may be 0 hits; need doc count instead
+    # recompute the streamed prefix length from the source semantics: one
+    # availableNow drain of rate-micro-batch(400) yields >= 400 docs; use the
+    # batch path over the same prefix length inferred from a docs drain
+    sdf = streaming.stream_docs(spark, rows_per_batch=400)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sc_docs_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    n_docs = spark.table("sc_docs_probe").count()
+    assert n_docs >= 400
+
+    from rust_s2_spark.engine import tiling
+    from rust_s2_spark.engine.join import cap_join
+    from rust_s2_spark.engine.queries import _cap_setup
+
+    regions, coverings, levels = _cap_setup(spark)
+    batch = tiling.with_leaf_cellid(ingest.extract_geo(ingest.synth_docs(spark, n_docs, 4)))
+    want = cap_join(batch, regions, coverings, id_col="doc_id", levels=levels)
+    want_set = {
+        (r["region_id"], r["doc_id"])
+        for r in want.select("region_id", "doc_id").collect()
+    }
+    assert got_set == want_set
+    assert want_set, "fixture produced no spatial hits — weak test"
