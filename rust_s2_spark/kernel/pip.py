@@ -851,7 +851,90 @@ class Loop:
     def cell_union_bound(self) -> list[int]:
         return self.cap_bound().cell_union_bound()
 
+    # Loops with at least this many vertices get a per-face edge index for
+    # cell relations: the exact EdgeCrosser sweep is O(n_edges) per candidate
+    # cell, which makes covering generation crawl on coastline-sized loops
+    # (the gap SURVEY §2.13 noted when ShapeIndex was replaced).
+    _FACE_INDEX_THRESHOLD = 64
+
+    def _face_index(self):
+        """Per-face 2D edge index (lazy): gnomonic projection maps loop
+        edges to straight uv segments per face (kernel/clipping.py
+        face_segments), so edge-vs-cell tests become 2D segment-vs-rect
+        tests against numpy bbox arrays instead of EdgeCrosser sweeps."""
+        idx = getattr(self, "_face_index_cache", None)
+        if idx is not None:
+            return idx
+        from .clipping import face_segments
+        from . import stuv as _stuv
+
+        segs: dict[int, list] = {f: [] for f in range(6)}
+        n = len(self.vertices)
+        for i in range(n):
+            for f, sa, sb in face_segments(self.vertex(i), self.vertex(i + 1)):
+                segs[f].append((sa[0], sa[1], sb[0], sb[1]))
+        vx = self.vertices
+        vf = np.asarray(_stuv.face(vx[:, 0], vx[:, 1], vx[:, 2]))
+        vu, vv = _stuv.valid_face_xyz_to_uv(vf, vx[:, 0], vx[:, 1], vx[:, 2])
+        idx = {}
+        for f in range(6):
+            arr = np.asarray(segs[f], dtype=np.float64).reshape(-1, 4)
+            bbox = np.stack(
+                [
+                    np.minimum(arr[:, 0], arr[:, 2]),
+                    np.maximum(arr[:, 0], arr[:, 2]),
+                    np.minimum(arr[:, 1], arr[:, 3]),
+                    np.maximum(arr[:, 1], arr[:, 3]),
+                ],
+                axis=1,
+            ) if len(arr) else np.zeros((0, 4))
+            m = vf == f
+            idx[f] = (arr, bbox, np.stack([vu[m], vv[m]], axis=1) if m.any() else np.zeros((0, 2)))
+        self._face_index_cache = idx
+        return idx
+
+    def _edges_cross_cell_indexed(self, cell) -> bool:
+        """2D segment-vs-rect sweep over the face index.  The rect is
+        expanded by eps, making the answer conservative toward 'crossing' —
+        safe in both covering uses (intersects_cell over-keeps candidates,
+        contains_cell under-claims interiors)."""
+        from .clipping import edge_intersects_rect
+
+        eps = 1e-12
+        arr, bbox, _ = self._face_index()[cell.face]
+        if not len(arr):
+            return False
+        u_lo, u_hi = cell.u_lo - eps, cell.u_hi + eps
+        v_lo, v_hi = cell.v_lo - eps, cell.v_hi + eps
+        m = (
+            (bbox[:, 1] >= u_lo)
+            & (bbox[:, 0] <= u_hi)
+            & (bbox[:, 3] >= v_lo)
+            & (bbox[:, 2] <= v_hi)
+        )
+        rect = (u_lo, u_hi, v_lo, v_hi)
+        for ax, ay, bx, by in arr[m]:
+            if edge_intersects_rect((ax, ay), (bx, by), rect):
+                return True
+        return False
+
+    def _vertex_in_cell_indexed(self, cell) -> bool:
+        eps = 1e-12
+        _, _, verts = self._face_index()[cell.face]
+        if not len(verts):
+            return False
+        return bool(
+            (
+                (verts[:, 0] >= cell.u_lo - eps)
+                & (verts[:, 0] <= cell.u_hi + eps)
+                & (verts[:, 1] >= cell.v_lo - eps)
+                & (verts[:, 1] <= cell.v_hi + eps)
+            ).any()
+        )
+
     def _edges_cross_cell(self, cell) -> bool:
+        if len(self.vertices) >= self._FACE_INDEX_THRESHOLD:
+            return self._edges_cross_cell_indexed(cell)
         cv = cell.vertices()
         n = len(self.vertices)
         for k in range(4):
@@ -862,13 +945,22 @@ class Loop:
                     return True
         return False
 
+    def _any_vertex_in_cell(self, cell) -> bool:
+        if len(self.vertices) >= self._FACE_INDEX_THRESHOLD:
+            return self._vertex_in_cell_indexed(cell)
+        return any(cell.contains_point(v) for v in self.vertices)
+
     def intersects_cell(self, cell) -> bool:
         if not self.bound.intersects_rect(cell.rect_bound()):
             return False
-        for k in range(4):
-            if self.contains_point(cell.vertex(k)):
-                return True
-        if any(cell.contains_point(v) for v in self.vertices):
+        cv = cell.vertices()
+        if self.contains_points(
+            np.array([v[0] for v in cv]),
+            np.array([v[1] for v in cv]),
+            np.array([v[2] for v in cv]),
+        ).any():
+            return True
+        if self._any_vertex_in_cell(cell):
             return True
         return self._edges_cross_cell(cell)
 
@@ -877,10 +969,14 @@ class Loop:
             # cheap reject; bound containment is necessary for cell containment
             if not self.bound.intersects_rect(cell.rect_bound()):
                 return False
-        for k in range(4):
-            if not self.contains_point(cell.vertex(k)):
-                return False
-        if any(cell.contains_point(v) for v in self.vertices):
+        cv = cell.vertices()
+        if not self.contains_points(
+            np.array([v[0] for v in cv]),
+            np.array([v[1] for v in cv]),
+            np.array([v[2] for v in cv]),
+        ).all():
+            return False
+        if self._any_vertex_in_cell(cell):
             return False
         return not self._edges_cross_cell(cell)
 

@@ -295,3 +295,55 @@ def test_cap_covering_contains_points():
     member = cov.contains_points(cids)
     # covering must contain every inside point (may contain extra outside ones)
     assert np.all(member[inside])
+
+
+def test_face_index_cell_relations_equivalent():
+    """The per-face 2D edge index (used for loops >= 64 vertices) must agree
+    with the exact EdgeCrosser sweep on every candidate cell, and produce
+    the identical covering."""
+    import math
+
+    import numpy as np
+
+    from rust_s2_spark.kernel import hierarchy as h
+    from rust_s2_spark.kernel.pip import regular_loop
+    from rust_s2_spark.kernel.region import Cell, _latlng_point
+
+    center = _latlng_point(math.radians(40), math.radians(-100))
+    a = regular_loop(center, math.radians(5), 128)
+    b = regular_loop(center, math.radians(5), 128)
+    a._FACE_INDEX_THRESHOLD = 1       # force indexed
+    b._FACE_INDEX_THRESHOLD = 10**9   # force crosser sweep
+    cov = RegionCoverer(max_cells=32).covering(b)
+    cells = []
+    for cid in cov.ids:
+        cells.append(Cell(cid))
+        for k in h.children(np.uint64(cid)):
+            cells.append(Cell(int(k)))
+    for c in cells:
+        assert a.intersects_cell(c) == b.intersects_cell(c)
+        assert a.contains_cell(c) == b.contains_cell(c)
+    cov_a = RegionCoverer(max_cells=32).covering(
+        regular_loop(center, math.radians(5), 128)
+    )
+    assert cov_a.ids == cov.ids  # default path (indexed at 128) == crosser
+
+
+def test_face_index_large_loop_covering():
+    """Covering generation on a coastline-sized loop must be fast (the
+    indexed path) and valid."""
+    import math
+    import time
+
+    from rust_s2_spark.kernel.hilbert import cellid_from_latlng
+    from rust_s2_spark.kernel.pip import regular_loop
+    from rust_s2_spark.kernel.region import _latlng_point
+
+    center = _latlng_point(math.radians(40), math.radians(-100))
+    big = regular_loop(center, math.radians(8), 2048)
+    t0 = time.time()
+    cu = RegionCoverer(max_cells=32).covering(big)
+    elapsed = time.time() - t0
+    assert elapsed < 20  # crosser-only path takes ~35s+ at this size
+    assert 1 <= len(cu.ids) <= 32
+    assert cu.contains_cellid(int(cellid_from_latlng(40.0, -100.0)))

@@ -31,18 +31,16 @@ def test_encode_decode_roundtrip(lat, lng):
     cid2 = hilbert.cellid_from_face_ij(f, i, j)
     assert int(cid2) == int(cid)
     clat, clng = hilbert.cellid_to_latlng(cid)
-    # great-circle distance to the cell center is below the max leaf diagonal
-    la1, lo1, la2, lo2 = map(math.radians, (lat, lng, float(clat), float(clng)))
-    d = math.acos(
-        min(
-            1.0,
-            math.sin(la1) * math.sin(la2)
-            + math.cos(la1) * math.cos(la2) * math.cos(lo1 - lo2),
+    # chord distance to the cell center (precise near zero, unlike acos)
+    # must be below the max leaf-cell diagonal (~2.5e-9 rad)
+    def xyz(la, lo):
+        la, lo = math.radians(la), math.radians(lo)
+        return np.array(
+            [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la)]
         )
-    )
-    # the leaf diagonal is ~2.5e-9 rad but the acos distance formula has a
-    # ~sqrt(eps)=1.5e-8 resolution floor near zero — bound by the floor
-    assert d < 2e-8
+
+    d = float(np.linalg.norm(xyz(lat, lng) - xyz(float(clat), float(clng))))
+    assert d < 3e-9
 
 
 @settings(max_examples=200, deadline=None)
