@@ -25,6 +25,7 @@ HEADLINE = [
     "s2_pip_join",
     "s2_poly_nested_join",
     "s2_poly_overlay_join",
+    "s2_coastline_join",
     "s2_knn",
     "s2_segment_distance",
     "dedup_exact",

@@ -747,6 +747,42 @@ SELECT 'ovl_diff' AS region_id, event_id FROM m WHERE ia AND NOT ib
 """
 
 
+def _balanced_and(terms: list[str]) -> str:
+    """Balanced AND tree: DuckDB's binder recursion limit (128) rejects
+    left-deep 512-term chains."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} AND {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def o_coastline_join() -> str:
+    """Convex edge-sign membership over all 512 coastline edges, margin
+    excluded both sides — independent of the covering/index machinery."""
+    xyz = _XYZ.format(id="event_id", src="pts")
+    verts = specs.coastline_vertices_xyz()
+    n = len(verts)
+    insides, margins = [], []
+    for k in range(n):
+        a, b = verts[k], verts[(k + 1) % n]
+        cx = a[1] * b[2] - a[2] * b[1]
+        cy = a[2] * b[0] - a[0] * b[2]
+        cz = a[0] * b[1] - a[1] * b[0]
+        d = f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+        insides.append(f"({d} > 0)")
+        margins.append(f"(abs({d}) > {specs.f(specs.PIP_MARGIN)})")
+    inside = _balanced_and(insides)
+    margin = _balanced_and(margins)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT '{specs.COASTLINE_ID}' AS region_id, event_id
+FROM p WHERE {inside} AND {margin}
+"""
+
+
 def _region_triangle_values() -> str:
     """VALUES rows (region_id, sign, ax..cz): every region decomposed into
     its triangle fan with the per-ring depth sign, vertex coords as
@@ -913,6 +949,7 @@ ORACLES = {
     "s2_pip_join": o_pip_join,
     "s2_poly_nested_join": o_poly_nested_join,
     "s2_poly_overlay_join": o_poly_overlay_join,
+    "s2_coastline_join": o_coastline_join,
     "s2_region_area_stats": o_region_area_stats,
     "s2_knn": o_knn,
     "s2_knn_cellring": o_knn,

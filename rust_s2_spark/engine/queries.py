@@ -430,6 +430,69 @@ def _overlay_edge_crosses() -> list[tuple[float, float, float]]:
 _OVERLAY_UDF_CACHE: dict[int, dict] = {}
 
 
+# Per-executor memo for the coastline refine (Loop precompute + crosses).
+_LOOP_UDF_CACHE: dict[int, object] = {}
+
+
+@functools.cache
+def _coastline_setup():
+    from ..kernel.pip import Loop
+
+    verts = np.asarray(specs.coastline_vertices_xyz(), dtype=np.float64)
+    lp = Loop(verts)  # 512 vertices: uses the per-face edge-index covering path
+    coverer = RegionCoverer(max_cells=24, max_level=12)
+    cov = tuple(_cov_rows_for(specs.COASTLINE_ID, coverer.covering(lp).ids))
+    return verts, cov
+
+
+def q_coastline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join against a coastline-scale polygon (512-vertex convex ring):
+    the covering is generated through the per-face edge index (the
+    O(n_edges)-per-cell sweep would crawl here), the margin prefilter stays
+    JVM-side over all 512 edge planes, and the exact refine is the
+    vectorized crossing-number kernel.  Convexity keeps the independent
+    edge-sign oracle valid."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = events_geo(spark, sf_dir)
+    verts, cov_rows = _coastline_setup()
+    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
+    levels = sorted({r[2] for r in cov_rows})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    # Margin prefilter + crossing-number PIP in ONE Arrow stage: at 512
+    # edges a Column-expression margin tree (512 conds x trig) costs ~20 s
+    # of plan build + codegen per query, while the same |cross(v_k,v_k+1).p|
+    # tests are a single 512x3 @ 3xm numpy matmul over the (tiny,
+    # covering-pruned) candidate batch.  3-term dot order matches the
+    # oracle's SQL exactly.
+    n = len(verts)
+    crosses = np.cross(verts, np.roll(verts, -1, axis=0))
+    bc = spark.sparkContext.broadcast((verts.copy(), crosses.copy()))
+    key = id(bc)
+
+    @pandas_udf("boolean")
+    def _inside(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.pip import Loop
+
+        cache = _LOOP_UDF_CACHE.get(key)
+        if cache is None:
+            v, cr = bc.value
+            cache = (Loop(v), cr)
+            _LOOP_UDF_CACHE[key] = cache
+        lp, cr = cache
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        p = np.stack([cl * np.cos(ln), cl * np.sin(ln), np.sin(la)])
+        dets = cr @ p  # (n_edges, m)
+        ok = (np.abs(dets) > specs.PIP_MARGIN).all(axis=0)
+        ok &= lp.contains_points(p[0], p[1], p[2])
+        return pd.Series(ok)
+
+    refined = coarse.where(_inside(F.col("lat"), F.col("lng")))
+    return refined.select("region_id", "event_id")
+
+
 def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean-overlay spatial join: events classified against the UNION,
     INTERSECTION and DIFFERENCE polygons constructed by the overlay kernel
@@ -1336,6 +1399,7 @@ QUERIES = {
     "s2_pip_join": q_pip_join,
     "s2_poly_nested_join": q_poly_nested_join,
     "s2_poly_overlay_join": q_poly_overlay_join,
+    "s2_coastline_join": q_coastline_join,
     "s2_region_area_stats": q_region_area_stats,
     "s2_knn": q_knn,
     "s2_knn_cellring": q_knn_cellring,

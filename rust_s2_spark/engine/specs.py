@@ -107,6 +107,42 @@ PIP_MARGIN = 1e-12  # exclude points this close to an edge plane (both sides)
 # Deeply nested polygon (country > lake > island > pond), all rings CCW and
 # convex; polygon interior = points inside an ODD number of rings
 # (polygon.rs:140-161 parity convention).
+# Coastline-scale region: a 512-vertex convex ring (geodesic polygon
+# inscribed in a 25-degree small circle).  Exercises the per-face edge
+# index covering path end-to-end; convexity keeps the edge-sign oracle
+# valid.  Vertices are generated here (pure math) so the Spark loop and
+# the DuckDB oracle share the exact same double literals.
+COASTLINE_ID = "poly_coastline"
+COASTLINE_CENTER = (40.0, -100.0)
+COASTLINE_RADIUS_DEG = 25.0
+COASTLINE_N = 512
+
+
+def coastline_vertices_xyz() -> list[tuple[float, float, float]]:
+    clat, clng = (math.radians(d) for d in COASTLINE_CENTER)
+    c = (math.cos(clat) * math.cos(clng), math.cos(clat) * math.sin(clng), math.sin(clat))
+    east = (-math.sin(clng), math.cos(clng), 0.0)
+    north = (
+        -math.sin(clat) * math.cos(clng),
+        -math.sin(clat) * math.sin(clng),
+        math.cos(clat),
+    )
+    r = math.radians(COASTLINE_RADIUS_DEG)
+    cr, sr = math.cos(r), math.sin(r)
+    out = []
+    for k in range(COASTLINE_N):
+        t = 2.0 * math.pi * k / COASTLINE_N
+        ct, st = math.cos(t), math.sin(t)
+        out.append(
+            (
+                cr * c[0] + sr * (ct * east[0] + st * north[0]),
+                cr * c[1] + sr * (ct * east[1] + st * north[1]),
+                cr * c[2] + sr * (ct * east[2] + st * north[2]),
+            )
+        )
+    return out
+
+
 # Overlay operand pair (convex CCW rings, overlapping at a corner): the
 # engine builds union/intersection/difference polygons from these via the
 # boolean overlay kernel; the oracle re-derives membership as boolean
