@@ -886,6 +886,32 @@ FROM counts JOIN geo USING (region_id)
 """
 
 
+def o_simhash_dedup() -> str:
+    """Replay of q_simhash_dedup: simhash per doc (same CTE as o_simhash),
+    min-doc_id canonical representative per simhash group."""
+    fold = _CHAR_FOLD.format(col="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM documents, UNNEST(split(text, ' ')) AS u(tok)
+  WHERE tok <> ''
+),
+th AS (SELECT doc_id, {fold} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1),
+sig AS (SELECT doc_id, {terms} AS simhash FROM votes)
+SELECT doc_id, simhash,
+  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
+FROM sig
+"""
+
+
 def o_minhash_lsh() -> str:
     """DuckDB replay of the full MinHash-LSH pipeline (q_minhash_lsh):
     word-3gram -> char-fold hash -> 128 affine min-hashes -> 16 banded
@@ -963,6 +989,7 @@ ORACLES = {
     "ngram_jaccard": o_ngram_jaccard,
     "minhash_lsh": o_minhash_lsh,
     "simhash": o_simhash,
+    "simhash_dedup": o_simhash_dedup,
     "ann_cosine": o_ann_cosine,
     "embed_dedup": o_embed_dedup,
     "span_pipeline": o_span_pipeline,

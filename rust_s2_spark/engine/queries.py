@@ -760,6 +760,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-collision dedup clusters: every doc is assigned the minimum
+    doc_id sharing its 32-bit simhash (the canonical representative), plus
+    a dup flag.  Scale shape: ONE window over the simhash groups — no
+    self-join, no pair explosion (this corpus is heavily templated: a
+    hamming<=4 pair listing would emit ~60% of all pairs; the cluster
+    form stays O(n) regardless of clustering).  minhash_lsh covers the
+    banded candidate-pair shape."""
+    sig = q_simhash(spark, sf_dir)
+    w = Window.partitionBy("simhash")
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (fully oracled: every stage is
     deterministic integer/string math DuckDB replays — see o_minhash_lsh).
@@ -1412,6 +1430,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_dedup": q_simhash_dedup,
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
