@@ -36,7 +36,16 @@ from .pip import (
     loop_intersects_loop,
 )
 
-__all__ = ["loop_overlay", "loop_union", "loop_intersection", "loop_difference"]
+__all__ = [
+    "loop_overlay",
+    "loop_union",
+    "loop_intersection",
+    "loop_difference",
+    "polygon_overlay",
+    "polygon_union",
+    "polygon_intersection",
+    "polygon_difference",
+]
 
 
 def _node_key(p: np.ndarray) -> tuple:
@@ -197,3 +206,113 @@ def loop_intersection(a: Loop, b: Loop) -> Polygon:
 
 def loop_difference(a: Loop, b: Loop) -> Polygon:
     return loop_overlay(a, b, "difference")
+
+
+# ---------------------------------------------------------------------------
+# Polygon-polygon overlay (multi-loop odd-even operands)
+# ---------------------------------------------------------------------------
+
+
+def _loop_chain(lp: Loop, xpoints: dict[int, list[np.ndarray]]):
+    """Vertex chain of ``lp`` with intersection points spliced in, ordered
+    along each edge.  ``xpoints``: edge index -> crossing points."""
+    chain = []
+    n = len(lp.vertices)
+    for k in range(n):
+        v0 = lp.vertex(k)
+        chain.append((v0, _node_key(v0), False))
+        pts = xpoints.get(k, [])
+        if pts:
+            witht = []
+            for p in pts:
+                t = float(np.arctan2(np.linalg.norm(np.cross(v0, p)), v0 @ p))
+                witht.append((t, p))
+            for _, p in sorted(witht, key=lambda tp: tp[0]):
+                chain.append((p, _node_key(p), True))
+    return chain
+
+
+def _chain_segments(chain, other: Polygon, keep_inside: bool, reverse: bool):
+    """Like _segments but classifies against a Polygon region (parity)."""
+    n = len(chain)
+    xing_pos = [i for i, (_, _, x) in enumerate(chain) if x]
+    runs = []
+    if not xing_pos:
+        runs.append(list(range(n)) + [0])
+    else:
+        for a_i, b_i in zip(xing_pos, xing_pos[1:] + [xing_pos[0] + n]):
+            runs.append([p % n for p in range(a_i, b_i + 1)])
+    kept = []
+    for run in runs:
+        pts = [chain[p][0] for p in run]
+        mid = pts[0] + pts[1]
+        mid = mid / np.linalg.norm(mid)
+        if other.contains_point(mid) == keep_inside:
+            if reverse:
+                pts = pts[::-1]
+            kept.append([(p, _node_key(p)) for p in pts])
+    return kept
+
+
+def polygon_overlay(a: Polygon, b: Polygon, op: str) -> Polygon:
+    """Boolean overlay of two polygons with arbitrary loop nesting (odd-even
+    regions).
+
+    Boundary pieces must carry the REGION interior on their left for the
+    Weiler-Atherton stitch to close, so hole rings (odd depth) are walked
+    inverted ("region-oriented"); classification still tests the original
+    polygons' odd-even membership.  The stitched output rings are therefore
+    interior-left-oriented, which is exactly ``from_oriented_loops``'s input
+    convention (holes re-inverted automatically).  Selection rule
+    (regularized booleans, uniform across shells and holes): keep A-pieces
+    outside B for union / inside B for intersection; B-pieces outside A for
+    union, inside A for intersection, inside A REVERSED for difference."""
+    if op not in ("union", "intersection", "difference"):
+        raise ValueError(f"unknown overlay op: {op}")
+    ro_a = [lp if not lp.is_hole() else lp.invert() for lp in a.loops]
+    ro_b = [lp if not lp.is_hole() else lp.invert() for lp in b.loops]
+    a_x: dict[int, dict[int, list]] = {i: {} for i in range(len(ro_a))}
+    b_x: dict[int, dict[int, list]] = {j: {} for j in range(len(ro_b))}
+    for ai, la in enumerate(ro_a):
+        na = len(la.vertices)
+        for e in range(na):
+            a0, a1 = la.vertex(e), la.vertex(e + 1)
+            crosser = EdgeCrosser(a0, a1)
+            for bj, lb in enumerate(ro_b):
+                nb = len(lb.vertices)
+                for f in range(nb):
+                    if crosser.crossing_sign(lb.vertex(f), lb.vertex(f + 1)) == CROSS:
+                        p = edge_intersection(a0, a1, lb.vertex(f), lb.vertex(f + 1))
+                        a_x[ai].setdefault(e, []).append(p)
+                        b_x[bj].setdefault(f, []).append(p)
+    pieces = []
+    out_loops: list[Loop] = []
+    keep_a_inside = op == "intersection"
+    keep_b_inside = op in ("intersection", "difference")
+    rev_b = op == "difference"
+    for ai, la in enumerate(ro_a):
+        if a_x[ai]:
+            pieces += _chain_segments(_loop_chain(la, a_x[ai]), b, keep_a_inside, False)
+        elif b.contains_point(la.vertex(0)) == keep_a_inside:
+            out_loops.append(la)
+    for bj, lb in enumerate(ro_b):
+        if b_x[bj]:
+            pieces += _chain_segments(_loop_chain(lb, b_x[bj]), a, keep_b_inside, rev_b)
+        elif a.contains_point(lb.vertex(0)) == keep_b_inside:
+            out_loops.append(lb.invert() if rev_b else lb)
+    out_loops += _stitch(pieces)
+    if not out_loops:
+        return Polygon([], _nested=True)
+    return Polygon.from_oriented_loops(out_loops)
+
+
+def polygon_union(a: Polygon, b: Polygon) -> Polygon:
+    return polygon_overlay(a, b, "union")
+
+
+def polygon_intersection(a: Polygon, b: Polygon) -> Polygon:
+    return polygon_overlay(a, b, "intersection")
+
+
+def polygon_difference(a: Polygon, b: Polygon) -> Polygon:
+    return polygon_overlay(a, b, "difference")

@@ -103,3 +103,92 @@ def test_unknown_op_rejected():
     a = L("0:0, 0:20, 20:20, 20:0")
     with pytest.raises(ValueError):
         loop_overlay(a, a, "xor")
+
+
+# ---------------------------------------------------------------------------
+# Polygon-polygon overlay (multi-loop odd-even operands)
+# ---------------------------------------------------------------------------
+
+from rust_s2_spark.kernel.overlay import (  # noqa: E402
+    polygon_difference,
+    polygon_intersection,
+    polygon_overlay,
+    polygon_union,
+)
+from rust_s2_spark.kernel.pip import Polygon  # noqa: E402
+
+# probe grid deliberately off every fixture boundary coordinate
+PGRID = [
+    (la, ln)
+    for la in np.arange(-4.7, 64, 3.7)
+    for ln in np.arange(-4.3, 64, 3.9)
+]
+
+
+def _check_poly_pair(a, b):
+    u = polygon_union(a, b)
+    i = polygon_intersection(a, b)
+    d = polygon_difference(a, b)
+    assert abs(u.area() + i.area() - (a.area() + b.area())) < 1e-12
+    assert abs(d.area() - (a.area() - i.area())) < 1e-12
+    for la, ln in PGRID:
+        p = P(la, ln)
+        ia, ib = a.contains_point(p), b.contains_point(p)
+        assert u.contains_point(p) == (ia or ib), (la, ln, "union")
+        assert i.contains_point(p) == (ia and ib), (la, ln, "intersection")
+        assert d.contains_point(p) == (ia and not ib), (la, ln, "difference")
+    return u, i, d
+
+
+ANN = ["0:0, 0:40, 40:40, 40:0", "10:10, 10:30, 30:30, 30:10"]
+
+
+def test_polygon_overlay_annulus_vs_crossing_disk():
+    ann = Polygon.from_loops([L(t) for t in ANN])
+    disk = Polygon.from_loops([L("5:5, 5:20, 20:20, 20:5")])
+    u, i, d = _check_poly_pair(ann, disk)
+    assert u.num_loops() == 2  # hole shrinks but survives
+    assert d.num_loops() == 2
+
+
+def test_polygon_overlay_disk_inside_hole():
+    ann = Polygon.from_loops([L(t) for t in ANN])
+    hole_disk = Polygon.from_loops([L("15:15, 15:25, 25:25, 25:15")])
+    u, i, d = _check_poly_pair(ann, hole_disk)
+    assert u.num_loops() == 3  # annulus + island in the hole
+    assert i.is_empty()
+    assert d.num_loops() == 2  # unchanged annulus
+
+
+def test_polygon_overlay_two_annuli():
+    a = Polygon.from_loops([L(t) for t in ANN])
+    b = Polygon.from_loops(
+        [L("20:20, 20:60, 60:60, 60:20"), L("30:30, 30:50, 50:50, 50:30")]
+    )
+    _check_poly_pair(a, b)
+
+
+def test_polygon_overlay_island_operand():
+    deep = Polygon.from_loops(
+        [L(t) for t in ANN] + [L("15:15, 15:25, 25:25, 25:15")]
+    )
+    disk = Polygon.from_loops([L("5:5, 5:20, 20:20, 20:5")])
+    _check_poly_pair(deep, disk)
+
+
+def test_polygon_overlay_hole_swallowed():
+    ann = Polygon.from_loops([L(t) for t in ANN])
+    big = Polygon.from_loops([L("5:5, 5:35, 35:35, 35:5")])  # covers the hole
+    u, i, d = _check_poly_pair(ann, big)
+    assert u.num_loops() == 1  # hole filled -> plain disk
+
+
+def test_polygon_overlay_matches_loop_overlay():
+    # single-loop operands must agree exactly with the loop-level overlay
+    a1 = L("0:0, 0:20, 20:20, 20:0")
+    b1 = L("10:10, 10:30, 30:30, 30:10")
+    pa, pb = Polygon.from_loops([a1]), Polygon.from_loops([b1])
+    for op in ("union", "intersection", "difference"):
+        lp = loop_overlay(a1, b1, op)
+        pp = polygon_overlay(pa, pb, op)
+        assert abs(lp.area() - pp.area()) < 1e-14, op
