@@ -640,6 +640,36 @@ SELECT event_id FROM p WHERE NOT {_cap_exists_clause()}
 """
 
 
+def o_rasterize() -> str:
+    """Replay of q_rasterize: level-6 tile through the recursive-CTE Hilbert
+    encoder + edge-sign membership for the first spec polygon."""
+    rid, crosses = next(iter(polygon_edge_crosses().items()))
+    dets = [
+        f"({specs.f(cx)} * x + {specs.f(cy)} * y + {specs.f(cz)} * z)"
+        for cx, cy, cz in crosses
+    ]
+    inside = " AND ".join(f"{d} > 0" for d in dets)
+    margin = " AND ".join(f"abs({d}) > {specs.f(specs.PIP_MARGIN)}" for d in dets)
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")},
+pxyz AS ({_XYZ.format(id="event_id", src="pts")}),
+sampled AS (
+  SELECT l.event_id, l.face, l.pos,
+    CASE WHEN {inside} THEN 1 ELSE 0 END AS ins
+  FROM leaf l JOIN pxyz p ON l.event_id = p.event_id
+  WHERE {margin}
+)
+SELECT {_parent_from_pos(6)} AS tile,
+  count(*) AS n_samples,
+  -- CAST: DuckDB integer sum() yields HUGEINT, which value-hashes
+  -- differently from Spark's BIGINT (the sessionize lesson)
+  CAST(sum(ins) AS BIGINT) AS n_inside,
+  round(CAST(sum(ins) AS DOUBLE) / count(*), 6) AS coverage_r
+FROM sampled GROUP BY 1
+"""
+
+
 def o_cap_tile_rollup() -> str:
     vals = ", ".join(
         f"('{rid}', {specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
@@ -971,6 +1001,7 @@ ORACLES = {
     "s2_cap_semijoin": o_cap_semijoin,
     "s2_cap_antijoin": o_cap_antijoin,
     "s2_cap_tile_rollup": o_cap_tile_rollup,
+    "s2_rasterize": o_rasterize,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_poly_nested_join": o_poly_nested_join,

@@ -1343,6 +1343,44 @@ def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("region_id", "tile").agg(F.count("*").alias("n_docs"))
 
 
+RASTER_LEVEL = 6
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster side of raster<->vector: a polygon rasterized onto the S2
+    level-6 grid with per-tile coverage fractions, sampled by the event
+    point set (the 100 TB shape: each tile's coverage estimated from the
+    data points it already holds — one groupBy, no geometry explosion).
+    Output: one raster row per occupied tile with the sample counts and
+    the inside fraction for the poly_diamond_us polygon."""
+    docs = events_geo(spark, sf_dir)
+    tiled = docs.withColumn("tile", tiling.parent_col("cell_id", RASTER_LEVEL))
+    rid, ring = specs.POLYGONS[0]
+    verts = specs.polygon_vertices_xyz(ring)
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    inside = F.lit(True)
+    margin = F.lit(True)
+    n = len(verts)
+    for k in range(n):
+        a, b = verts[k], verts[(k + 1) % n]
+        cx = a[1] * b[2] - a[2] * b[1]
+        cy = a[2] * b[0] - a[0] * b[2]
+        cz = a[0] * b[1] - a[1] * b[0]
+        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
+        inside = inside & (det > 0)
+        margin = margin & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    tiled = tiled.where(margin).withColumn("inside", inside)
+    return tiled.groupBy("tile").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.col("inside").cast("long")).alias("n_inside"),
+        F.round(
+            F.sum(F.col("inside").cast("long")) / F.count("*"), 6
+        ).alias("coverage_r"),
+    )
+
+
 @functools.cache
 def _polyline_buffer_setup():
     """Covering cells for caps that enclose each buffered segment.
@@ -1413,6 +1451,7 @@ QUERIES = {
     "s2_cap_semijoin": q_cap_semijoin,
     "s2_cap_antijoin": q_cap_antijoin,
     "s2_cap_tile_rollup": q_cap_tile_rollup,
+    "s2_rasterize": q_rasterize,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_poly_nested_join": q_poly_nested_join,

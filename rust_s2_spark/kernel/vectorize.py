@@ -1,0 +1,83 @@
+"""Vector side of raster<->vector: CellUnion -> boundary Polygon.
+
+Vectorization inverts rasterization: given a set of S2 cells (a covering,
+a rasterized mask, a tile-level rollup result), produce the spherical
+polygon bounding exactly that region.  Method:
+
+  1. denormalize the union to uniform cells at the requested level;
+  2. every cell contributes its 4 CCW edges (interior on the left, using
+     the Cell decode's uv-rect vertices); an edge is BOUNDARY iff the
+     edge-neighbor across it (cellid.rs:336-347) is outside the set —
+     cross-face adjacency comes for free from edge_neighbors' wrap logic;
+  3. boundary edges stitch end-to-start into closed loops (shared corner
+     vertices are exact: both adjacent cells decode the identical uv
+     corner), giving interior-left rings — holes arrive clockwise and
+     ``Polygon.from_oriented_loops`` re-inverts them.
+
+The result satisfies: contains_point(p) == union membership of leaf(p)
+for any p not on a cell boundary, and area(polygon) == sum of the cells'
+exact areas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import hierarchy as h
+from .covering import CellUnion
+from .pip import Loop, Polygon
+from .region import Cell
+
+__all__ = ["cellunion_boundary"]
+
+
+def _corner_key(p: np.ndarray) -> tuple:
+    return tuple(np.round(p, 14))
+
+
+def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
+    """Boundary polygon of the region covered by ``cu``, traced on the
+    level-``level`` grid.  ``level`` must be >= the deepest cell in the
+    union (denormalize requirement)."""
+    flat = CellUnion(list(cu.ids))
+    flat.denormalize(level, 1)  # in-place re-expansion to uniform level
+    ids = flat.ids
+    if not ids:
+        return Polygon([], _nested=True)
+    in_set = set(int(np.uint64(c)) for c in ids)
+    edges: dict[tuple, list] = {}
+    for cid in ids:
+        nbrs = h.edge_neighbors(np.uint64(cid))
+        cell = Cell(int(cid))
+        verts = cell.vertices()
+        for k in range(4):
+            if int(np.uint64(nbrs[k])) in in_set:
+                continue
+            a, b = verts[k], verts[(k + 1) & 3]
+            edges.setdefault(_corner_key(a), []).append((a, b))
+    loops = []
+    used = set()
+    for start_key, outs in edges.items():
+        for first in outs:
+            eid = id(first)
+            if eid in used:
+                continue
+            used.add(eid)
+            ring = [first[0]]
+            cur_end = first[1]
+            guard = 0
+            while _corner_key(cur_end) != _corner_key(ring[0]):
+                ring.append(cur_end)
+                nxts = [
+                    e for e in edges.get(_corner_key(cur_end), []) if id(e) not in used
+                ]
+                if not nxts:
+                    raise ValueError("vectorize stitch failed: open boundary chain")
+                nxt = nxts[0]
+                used.add(id(nxt))
+                cur_end = nxt[1]
+                guard += 1
+                if guard > 4 * len(ids) + 8:
+                    raise ValueError("vectorize stitch failed: unbounded chain")
+            loops.append(Loop(np.array(ring)))
+    return Polygon.from_oriented_loops(loops)

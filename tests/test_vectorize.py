@@ -1,0 +1,86 @@
+"""CellUnion -> boundary Polygon vectorization (kernel/vectorize.py).
+
+Invariants: the polygon's area equals the exact sum of the cell areas
+(identical region), membership matches union membership for probe points,
+and removed interior cells produce holes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from rust_s2_spark.kernel import hierarchy as h
+from rust_s2_spark.kernel import hilbert
+from rust_s2_spark.kernel.covering import CellUnion, RegionCoverer
+from rust_s2_spark.kernel.region import Cap, Cell, _latlng_point
+from rust_s2_spark.kernel.vectorize import cellunion_boundary
+
+
+def _flat(cu, lvl):
+    flat = CellUnion(list(cu.ids))
+    flat.denormalize(lvl, 1)
+    return flat
+
+
+def test_cap_covering_roundtrip():
+    cap = Cap.from_latlng_radius(40.0, -100.0, 4.0)
+    cu = RegionCoverer(max_cells=24, max_level=7).covering(cap)
+    lvl = max(int(h.level(np.uint64(c))) for c in cu.ids)
+    poly = cellunion_boundary(cu, lvl)
+    assert poly.num_loops() == 1
+    flat = _flat(cu, lvl)
+    want_area = sum(Cell(c).exact_area() for c in flat.ids)
+    assert abs(poly.area() - want_area) < 1e-12
+    rng = np.random.default_rng(5)
+    for _ in range(500):
+        la = 40 + rng.uniform(-6, 6)
+        ln = -100 + rng.uniform(-8, 8)
+        p = _latlng_point(math.radians(la), math.radians(ln))
+        leaf = int(hilbert.cellid_from_latlng(la, ln))
+        assert cu.contains_cellid(leaf) == poly.contains_point(p)
+
+
+def test_hole_from_removed_cells():
+    cap = Cap.from_latlng_radius(10.0, 10.0, 3.0)
+    cu = RegionCoverer(max_cells=16, max_level=6).covering(cap)
+    lvl = max(int(h.level(np.uint64(c))) for c in cu.ids)
+    flat = _flat(cu, lvl)
+    center_leaf = np.uint64(hilbert.cellid_from_latlng(10.0, 10.0))
+    center_cell = int(h.parent(center_leaf, lvl))
+    assert center_cell in flat.ids
+    ring = CellUnion([c for c in flat.ids if c != center_cell])
+    poly = cellunion_boundary(ring, lvl)
+    depths = sorted(lp.depth for lp in poly.loops)
+    assert depths == [0, 1]  # shell + hole
+    assert not poly.contains_point(_latlng_point(math.radians(10), math.radians(10)))
+    want_area = sum(Cell(c).exact_area() for c in ring.ids)
+    assert abs(poly.area() - want_area) < 1e-12
+
+
+def test_two_components():
+    a = RegionCoverer(max_cells=8, max_level=6).covering(
+        Cap.from_latlng_radius(0.0, 0.0, 2.0)
+    )
+    b = RegionCoverer(max_cells=8, max_level=6).covering(
+        Cap.from_latlng_radius(30.0, 60.0, 2.0)
+    )
+    lvl = max(int(h.level(np.uint64(c))) for c in list(a.ids) + list(b.ids))
+    both = CellUnion(list(a.ids) + list(b.ids))
+    both.normalize()
+    poly = cellunion_boundary(both, lvl)
+    assert poly.num_loops() >= 2
+    assert all(lp.depth == 0 for lp in poly.loops)  # disjoint shells
+
+
+def test_single_cell():
+    cid = int(h.from_face_pos_level(2, 123, 5))
+    poly = cellunion_boundary(CellUnion([cid]), 5)
+    assert poly.num_loops() == 1
+    assert len(poly.loops[0].vertices) == 4
+    assert abs(poly.area() - Cell(cid).exact_area()) < 1e-15
+
+
+def test_empty_union():
+    assert cellunion_boundary(CellUnion([]), 5).is_empty()
