@@ -26,11 +26,13 @@ HEADLINE = [
     "s2_poly_nested_join",
     "s2_poly_overlay_join",
     "s2_coastline_join",
+    "s2_rasterize",
     "s2_knn",
     "s2_segment_distance",
     "dedup_exact",
     "ngram_jaccard",
     "simhash",
+    "simhash_dedup",
     "ann_cosine",
     "embed_dedup",
     "span_pipeline",
