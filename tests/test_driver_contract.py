@@ -76,3 +76,28 @@ def test_query_matches_oracle_sf0001(entrymod, duck, spark, name):
     assert len(sdf) == len(odf)
     assert list(sdf.columns) == list(odf.columns)
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_oracle_types_hash_compatible(entrymod, duck, spark):
+    """Every oracle column's DuckDB type must be the exact hash-compatible
+    twin of the Spark column type (the driver's value-hash is typed: a
+    HUGEINT/DECIMAL/INTEGER surfacing where Spark emits BIGINT/DOUBLE
+    hash-mismatches even on equal values — the round-1 sessionize bug)."""
+    good = {
+        ("BIGINT", "bigint"),
+        ("DOUBLE", "double"),
+        ("VARCHAR", "string"),
+        ("BOOLEAN", "boolean"),
+        ("TIMESTAMP", "timestamp"),
+    }
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    bad = []
+    for name, sql in os_.items():
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
+        stypes = {f.name: f.dataType.simpleString() for f in qs[name](spark, SF).schema.fields}
+        for col, dtype, *_ in desc:
+            st = stypes.get(col)
+            base = dtype.split("(")[0]
+            if st is None or (base, st) not in good:
+                bad.append(f"{name}.{col}: duck={dtype} spark={st}")
+    assert not bad, bad
