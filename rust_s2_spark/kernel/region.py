@@ -67,6 +67,20 @@ class RInterval:
             return self
         return RInterval(self.lo - margin, self.hi + margin)
 
+    def interior_contains_interval(self, o: "RInterval") -> bool:
+        if o.is_empty:
+            return True
+        return o.lo > self.lo and o.hi < self.hi
+
+    def interior_intersects(self, o: "RInterval") -> bool:
+        return (
+            not self.is_empty
+            and not o.is_empty
+            and o.lo < self.hi
+            and self.lo < o.hi
+            and self.lo < self.hi
+        )
+
     def interior_contains(self, p: float) -> bool:
         return self.lo < p < self.hi
 
@@ -180,6 +194,33 @@ class SInterval:
             return self.is_full or o.is_empty
         return o.lo >= self.lo and o.hi <= self.hi
 
+    def interior_contains(self, p: float) -> bool:
+        if self.is_inverted:
+            if not self.is_empty:
+                return p > self.lo or p < self.hi
+            return False
+        if p == -PI:
+            p = PI
+        return (self.lo < p < self.hi) or (self.is_full and p == self.lo)
+
+    def interior_contains_interval(self, o: "SInterval") -> bool:
+        if self.is_inverted:
+            if not o.is_inverted:
+                return o.lo > self.lo or o.hi < self.hi
+            return (o.lo > self.lo and o.hi < self.hi) or o.is_empty
+        if o.is_inverted:
+            return self.is_full or o.is_empty
+        return (o.lo > self.lo and o.hi < self.hi) or self.is_full
+
+    def interior_intersects(self, o: "SInterval") -> bool:
+        if self.is_empty or o.is_empty or self.lo == self.hi:
+            return False
+        if self.is_inverted:
+            return o.is_inverted or o.lo < self.hi or o.hi > self.lo
+        if o.is_inverted:
+            return o.lo < self.hi or o.hi > self.lo
+        return (o.lo < self.hi and o.hi > self.lo) or self.is_full
+
     def intersects(self, o: "SInterval") -> bool:
         if self.is_empty or o.is_empty:
             return False
@@ -256,6 +297,24 @@ class SInterval:
 CHORD_NEGATIVE = -1.0
 CHORD_STRAIGHT = 4.0
 CHORD_RIGHT = 2.0
+
+
+def _s_intersection(i: SInterval, o: SInterval) -> SInterval:
+    """s1 interval intersection (s1/interval.rs semantics)."""
+    if o.is_empty or i.is_empty:
+        return SInterval.empty()
+    if i._fast_contains(o.lo):
+        if i._fast_contains(o.hi):
+            if o.length < i.length:
+                return o
+            return i
+        return SInterval(o.lo, i.hi)
+    if i._fast_contains(o.hi):
+        return SInterval(i.lo, o.hi)
+    if o._fast_contains(i.lo):
+        return i
+    return SInterval.empty()
+
 
 
 def chord_from_angle(rad: float) -> float:
@@ -558,6 +617,33 @@ class Cap:
             return Cap.full()
         return Cap(-self.center, CHORD_STRAIGHT - self.radius2)
 
+    @property
+    def is_valid(self) -> bool:
+        """cap.rs:143-145."""
+        return abs(float(self.center @ self.center) - 1.0) < 5e-14 and self.radius2 <= 4.0
+
+    def interior_contains_point(self, p: np.ndarray) -> bool:
+        """cap.rs:217-219: strict chord inequality (boundary excluded)."""
+        if self.is_full:
+            return True
+        d = self.center - np.asarray(p, dtype=float)
+        return float(d @ d) < self.radius2
+
+    def interior_intersects_cap(self, other: "Cap") -> bool:
+        """cap.rs:202-209: this cap's interior meets the other cap."""
+        if self.radius2 <= 0.0 or other.is_empty:
+            return False
+        d = self.center - other.center
+        ra = math.sqrt(max(self.radius2, 0.0))
+        rb = math.sqrt(max(other.radius2, 0.0))
+        return ra + rb > math.sqrt(float(d @ d))
+
+    def approx_eq(self, other: "Cap", eps: float = 1e-14) -> bool:
+        return (
+            float(np.linalg.norm(self.center - other.center)) <= eps
+            and abs(self.radius2 - other.radius2) <= eps
+        )
+
     def contains_cap(self, other: "Cap") -> bool:
         if self.is_full or other.is_empty:
             return True
@@ -768,6 +854,92 @@ class Rect:
 
     def intersects_rect(self, o: "Rect") -> bool:
         return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    @staticmethod
+    def from_center_size(center_lat: float, center_lng: float, size_lat: float, size_lng: float) -> "Rect":
+        """Center/size in radians (rect.rs:62-68)."""
+        half = Rect(
+            RInterval.from_point(center_lat), SInterval(center_lng, center_lng)
+        )
+        return half.expanded(0.5 * size_lat, 0.5 * size_lng)
+
+    @staticmethod
+    def from_point_pair(lat1: float, lng1: float, lat2: float, lng2: float) -> "Rect":
+        """Minimal rect containing two latlng points, radians (rect.rs:86-91)."""
+        return Rect(
+            RInterval(min(lat1, lat2), max(lat1, lat2)),
+            SInterval.from_point_pair(lng1, lng2),
+        )
+
+    @property
+    def is_valid(self) -> bool:
+        """rect.rs:93-98."""
+        return (
+            abs(self.lat.lo) <= PI / 2
+            and self.lat.hi <= PI / 2
+            and self.lat.is_empty == self.lng.is_empty
+        )
+
+    @property
+    def is_point(self) -> bool:
+        return self.lat.lo == self.lat.hi and self.lng.lo == self.lng.hi
+
+    @property
+    def is_inverted(self) -> bool:
+        return self.lng.is_inverted
+
+    def size(self) -> tuple[float, float]:
+        """(lat_len, lng_len) radians (rect.rs:151-156)."""
+        return self.lat.length, self.lng.length
+
+    def area(self) -> float:
+        """Surface area on the unit sphere (rect.rs:158-165)."""
+        if self.is_empty:
+            return 0.0
+        cap_diff = abs(math.sin(self.lat.hi) - math.sin(self.lat.lo))
+        return self.lng.length * cap_diff
+
+    def centroid(self) -> np.ndarray:
+        """True centroid times the rect's area, not unit length
+        (rect.rs:741-805: z from the slice midpoint, xy radius from the
+        integrated arc-centroid distance)."""
+        if self.is_empty:
+            return np.zeros(3)
+        z1, z2 = math.sin(self.lat.lo), math.sin(self.lat.hi)
+        r1, r2 = math.cos(self.lat.lo), math.cos(self.lat.hi)
+        alpha = 0.5 * self.lng.length
+        r = math.sin(alpha) * (r2 * z2 - r1 * z1 + self.lat.length)
+        lng = self.lng.center
+        z = alpha * (z2 + z1) * (z2 - z1)  # scaled by the area
+        return np.array([r * math.cos(lng), r * math.sin(lng), z])
+
+    def union(self, o: "Rect") -> "Rect":
+        from .pip import _rect_union
+
+        return _rect_union(self, o)
+
+    def intersection(self, o: "Rect") -> "Rect":
+        lat = self.lat.intersection(o.lat)
+        lng = _s_intersection(self.lng, o.lng)
+        if lat.is_empty or lng.is_empty:
+            return Rect.empty()
+        return Rect(lat, lng)
+
+    def interior_contains_rect(self, o: "Rect") -> bool:
+        """rect.rs:710-713."""
+        return self.lat.interior_contains_interval(
+            o.lat
+        ) and self.lng.interior_contains_interval(o.lng)
+
+    def interior_contains_latlng_rad(self, lat: float, lng: float) -> bool:
+        """rect.rs:718-720."""
+        return self.lat.interior_contains(lat) and self.lng.interior_contains(lng)
+
+    def interior_intersects_rect(self, o: "Rect") -> bool:
+        """rect.rs:241-243."""
+        return self.lat.interior_intersects(o.lat) and self.lng.interior_intersects(
+            o.lng
+        )
 
     def boundary_intersects(self, v0: np.ndarray, v1: np.ndarray) -> bool:
         """Whether geodesic edge (v0, v1) intersects the rect boundary

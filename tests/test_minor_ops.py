@@ -112,3 +112,65 @@ def test_cellunion_bounds():
             assert rb.contains_latlng_rad(lat, lng)
     assert CellUnion([]).rect_bound().is_empty
     assert CellUnion([]).cap_bound().radius2 < 0  # empty cap sentinel
+
+
+def test_rect_accessors():
+    """from_center_size / from_point_pair / size / area / centroid /
+    intersection / union / interior ops (rect.rs:62-165, 241-243, 710-727,
+    741-805)."""
+    from rust_s2_spark.kernel.region import Rect
+
+    r = Rect.from_degrees(10, 10, 30, 30)
+    assert r.is_valid and not r.is_point and not r.is_inverted
+    slat, slng = r.size()
+    assert abs(slat - math.radians(20)) < 1e-15
+    assert abs(slng - math.radians(20)) < 1e-15
+    # analytic area: lng_len * (sin(hi) - sin(lo))
+    assert abs(
+        r.area() - math.radians(20) * (math.sin(math.radians(30)) - math.sin(math.radians(10)))
+    ) < 1e-15
+    # centroid normalizes into the rect, on the lng center plane
+    c = r.centroid()
+    cn = c / np.linalg.norm(c)
+    lat = math.degrees(math.asin(cn[2]))
+    lng = math.degrees(math.atan2(cn[1], cn[0]))
+    assert 10 < lat < 30 and abs(lng - 20) < 1e-9
+    # area-prescaled: |centroid| relates to area (nonzero)
+    assert np.linalg.norm(c) > 0
+    r2 = Rect.from_degrees(20, 20, 40, 40)
+    i = r.intersection(r2)
+    assert abs(math.degrees(i.lat.lo) - 20) < 1e-12 and abs(math.degrees(i.lat.hi) - 30) < 1e-12
+    u = r.union(r2)
+    assert abs(math.degrees(u.lat.lo) - 10) < 1e-12 and abs(math.degrees(u.lat.hi) - 40) < 1e-12
+    assert r.intersection(Rect.from_degrees(50, 50, 60, 60)).is_empty
+    assert r.interior_contains_rect(Rect.from_degrees(15, 15, 25, 25))
+    assert not r.interior_contains_rect(r)  # shares boundary
+    assert r.interior_intersects_rect(r2)
+    assert not r.interior_intersects_rect(Rect.from_degrees(30, 30, 50, 50))  # touch only
+    assert r.interior_contains_latlng_rad(math.radians(20), math.radians(20))
+    assert not r.interior_contains_latlng_rad(math.radians(10), math.radians(20))
+    fc = Rect.from_center_size(
+        math.radians(20), math.radians(20), math.radians(20), math.radians(20)
+    )
+    assert abs(math.degrees(fc.lat.lo) - 10) < 1e-9 and abs(math.degrees(fc.lng.hi) - 30) < 1e-9
+    pp = Rect.from_point_pair(
+        math.radians(5), math.radians(170), math.radians(-5), math.radians(-170)
+    )
+    assert pp.is_inverted  # the short way around crosses the antimeridian
+    assert Rect.from_degrees(1, 1, 1, 1).is_point
+
+
+def test_cap_accessors():
+    """is_valid / interior containment / interior intersection / approx_eq
+    (cap.rs:143-145, 202-219)."""
+    from rust_s2_spark.kernel.region import Cap
+
+    cap = Cap.from_latlng_radius(10, 10, 5)
+    assert cap.is_valid
+    assert cap.interior_contains_point(P(10, 10))
+    assert not cap.interior_contains_point(P(20, 10))
+    assert cap.interior_intersects_cap(Cap.from_latlng_radius(14, 10, 5))
+    assert not cap.interior_intersects_cap(Cap.from_latlng_radius(40, 10, 5))
+    assert cap.approx_eq(Cap.from_latlng_radius(10, 10, 5))
+    assert not cap.approx_eq(Cap.from_latlng_radius(10, 10, 6))
+    assert not Cap.empty().interior_intersects_cap(cap)
