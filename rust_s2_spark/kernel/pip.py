@@ -184,6 +184,33 @@ def robust_sign(a, b, c) -> int:
 # ---------------------------------------------------------------------------
 
 
+def get_frame(p: np.ndarray) -> np.ndarray:
+    """Right-handed orthonormal frame at unit point p: columns (x, y, z)
+    with z = p and (x, y) spanning the tangent space (point.rs:226-240)."""
+    z = np.asarray(p, dtype=float)
+    y = _ortho(z)
+    x = np.cross(y, z)
+    return np.stack([x, y, z], axis=1)
+
+
+def to_frame(m: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Coordinates of p in the orthonormal basis m (point.rs:254-257)."""
+    return m.T @ np.asarray(p, dtype=float)
+
+
+def from_frame(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Inverse of to_frame: m @ q (point.rs:246-249)."""
+    return m @ np.asarray(q, dtype=float)
+
+
+def planar_centroid(points: np.ndarray) -> np.ndarray:
+    """Euclidean average of the points, normalized to the unit sphere
+    (point.rs planar_centroid semantics)."""
+    c = np.asarray(points, dtype=float).mean(axis=0)
+    n = np.linalg.norm(c)
+    return c / n if n > 0 else c
+
+
 def _vec_angle(a: np.ndarray, b: np.ndarray) -> float:
     """Angle between unit vectors, stable near 0 and pi."""
     return math.atan2(float(np.linalg.norm(np.cross(a, b))), float(a @ b))

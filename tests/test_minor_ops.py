@@ -174,3 +174,24 @@ def test_cap_accessors():
     assert cap.approx_eq(Cap.from_latlng_radius(10, 10, 5))
     assert not cap.approx_eq(Cap.from_latlng_radius(10, 10, 6))
     assert not Cap.empty().interior_intersects_cap(cap)
+
+
+def test_point_frames():
+    """get_frame/to_frame/from_frame/planar_centroid (point.rs:226-257, 419)."""
+    from rust_s2_spark.kernel.pip import (
+        from_frame,
+        get_frame,
+        planar_centroid,
+        to_frame,
+    )
+
+    p = P(37.7, -122.4)
+    m = get_frame(p)
+    assert np.allclose(m @ m.T, np.eye(3))  # orthonormal
+    assert np.allclose(m[:, 2], p)  # z column is the point
+    assert np.linalg.det(m) > 0.99  # right-handed
+    q = np.array([0.3, 0.4, 0.5])
+    assert np.allclose(to_frame(m, from_frame(m, q)), q)
+    assert np.allclose(from_frame(m, to_frame(m, p)), p)
+    pts = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    assert np.allclose(planar_centroid(pts), np.ones(3) / np.sqrt(3))
