@@ -74,6 +74,12 @@ def main():
     from rust_s2_spark.engine.queries import QUERIES
 
     QUERIES["s2_tile_assign"](spark, sf_dir).limit(10).collect()
+    # warmup primes the memoized tiled-events table; clear it so the first
+    # timed query pays the materialization cost honestly (later queries
+    # legitimately share it — that is the materialized-ingest design)
+    from rust_s2_spark.engine.queries import clear_geo_cache
+
+    clear_geo_cache()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     times, warm = run(spark, sf_dir, repeats=repeats)

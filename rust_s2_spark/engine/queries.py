@@ -38,13 +38,39 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Per-session memo of the tiled events table: the production design
+# materializes the ingest+tile stage ONCE (CheckpointManager / Iceberg
+# table) and every query reads it; persisting here is the in-session
+# analog — spatial queries stop re-deriving the encode per query, and the
+# InMemoryRelation boundary keeps Catalyst from re-planning through it.
+_GEO_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_geo_cache() -> None:
+    """Unpersist + drop the memoized tiled-events tables (bench harness:
+    called after warmup so the first timed query pays the materialization
+    it would pay in production)."""
+    for df in _GEO_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _GEO_CACHE.clear()
+
+
 def events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + deterministic derived (lat, lng) + leaf cellid."""
-    lat_sql, lng_sql = specs.latlng_sql("event_id")
-    df = _read(spark, sf_dir, "events").select(
-        "event_id", F.expr(lat_sql).alias("lat"), F.expr(lng_sql).alias("lng")
-    )
-    return tiling.with_leaf_cellid(df)
+    """events + deterministic derived (lat, lng) + leaf cellid (persisted
+    once per session per scale factor — the materialized tiled table)."""
+    key = (id(spark), sf_dir)
+    df = _GEO_CACHE.get(key)
+    if df is None:
+        lat_sql, lng_sql = specs.latlng_sql("event_id")
+        df = _read(spark, sf_dir, "events").select(
+            "event_id", F.expr(lat_sql).alias("lat"), F.expr(lng_sql).alias("lng")
+        )
+        df = tiling.with_leaf_cellid(df).persist()
+        _GEO_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
