@@ -122,3 +122,26 @@ def test_column_encode_bitmatch_udf_on_fixture(spark):
     merged = col_df.merge(udf_df, on="event_id", suffixes=("_col", "_udf"))
     assert len(merged) == len(col_df) == 1000
     assert (merged["c_col"] == merged["c_udf"]).all()
+
+
+def test_column_encode_deterministic_across_executions(spark):
+    """The pure-Column encode carries a nondeterministic MARKER (rand()*0)
+    as a Catalyst rewrite barrier — its VALUE must stay exactly
+    deterministic across independent executions and partitionings, or
+    every downstream join/checkpoint silently breaks."""
+    from rust_s2_spark.engine.queries import events_geo
+
+    geo = events_geo(spark, "/root/testdata/sf0.001")
+    a = {r["event_id"]: r["cell_id"] for r in geo.select("event_id", "cell_id").collect()}
+    # fresh, uncached lineage with a different partitioning
+    from rust_s2_spark.engine import specs, tiling
+
+    lat_sql, lng_sql = specs.latlng_sql("event_id")
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(7)
+        .select("event_id", F.expr(lat_sql).alias("lat"), F.expr(lng_sql).alias("lng"))
+    )
+    fresh = tiling.with_leaf_cellid(df)
+    b = {r["event_id"]: r["cell_id"] for r in fresh.select("event_id", "cell_id").collect()}
+    assert a == b
