@@ -192,3 +192,40 @@ def test_polygon_overlay_matches_loop_overlay():
         lp = loop_overlay(a1, b1, op)
         pp = polygon_overlay(pa, pb, op)
         assert abs(lp.area() - pp.area()) < 1e-14, op
+
+
+def test_overlay_fuzz_regular_loops():
+    """Randomized loop_overlay fuzz: area identities must hold exactly for
+    arbitrary crossing/nested/disjoint regular-loop pairs."""
+    import numpy as np
+
+    from rust_s2_spark.kernel.pip import regular_loop
+
+    rng = np.random.default_rng(99)
+    checked = 0
+    for _ in range(60):
+        lat_a, lng_a = rng.uniform(-60, 60), rng.uniform(-150, 150)
+        lat_b = lat_a + rng.uniform(-8, 8)
+        lng_b = lng_a + rng.uniform(-8, 8)
+        ca = P(lat_a, lng_a)
+        cb = P(lat_b, lng_b)
+        a = regular_loop(ca, math.radians(rng.uniform(1, 7)), int(rng.integers(6, 24)))
+        b = regular_loop(cb, math.radians(rng.uniform(1, 7)), int(rng.integers(6, 24)))
+        try:
+            u = loop_union(a, b)
+            i = loop_intersection(a, b)
+            d = loop_difference(a, b)
+        except ValueError:
+            continue  # degenerate shared-boundary case, legitimately rejected
+        assert abs(u.area() + i.area() - (a.area() + b.area())) < 1e-10
+        assert abs(d.area() - (a.area() - i.area())) < 1e-10
+        # spot probes at both centers
+        for c, inside_a, inside_b in (
+            (ca, a.contains_point(ca), b.contains_point(ca)),
+            (cb, a.contains_point(cb), b.contains_point(cb)),
+        ):
+            assert u.contains_point(c) == (inside_a or inside_b)
+            assert i.contains_point(c) == (inside_a and inside_b)
+            assert d.contains_point(c) == (inside_a and not inside_b)
+        checked += 1
+    assert checked >= 50  # nearly all random pairs are non-degenerate
