@@ -229,3 +229,43 @@ def test_overlay_fuzz_regular_loops():
             assert d.contains_point(c) == (inside_a and not inside_b)
         checked += 1
     assert checked >= 50  # nearly all random pairs are non-degenerate
+
+
+def test_polygon_overlay_fuzz_annuli():
+    """Randomized polygon_overlay fuzz over annulus pairs (shell +
+    concentric hole): exact area identities for every op."""
+    import numpy as np
+
+    from rust_s2_spark.kernel.pip import regular_loop
+
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(30):
+        lat_a, lng_a = rng.uniform(-50, 50), rng.uniform(-120, 120)
+        lat_b = lat_a + rng.uniform(-6, 6)
+        lng_b = lng_a + rng.uniform(-6, 6)
+        ca, cb = P(lat_a, lng_a), P(lat_b, lng_b)
+        ra = rng.uniform(3, 8)
+        rb = rng.uniform(3, 8)
+        a = Polygon.from_loops(
+            [
+                regular_loop(ca, math.radians(ra), 12),
+                regular_loop(ca, math.radians(ra * 0.4), 10),
+            ]
+        )
+        b = Polygon.from_loops(
+            [
+                regular_loop(cb, math.radians(rb), 14),
+                regular_loop(cb, math.radians(rb * 0.5), 8),
+            ]
+        )
+        try:
+            u = polygon_union(a, b)
+            i = polygon_intersection(a, b)
+            d = polygon_difference(a, b)
+        except ValueError:
+            continue
+        assert abs(u.area() + i.area() - (a.area() + b.area())) < 1e-10
+        assert abs(d.area() - (a.area() - i.area())) < 1e-10
+        checked += 1
+    assert checked >= 25
