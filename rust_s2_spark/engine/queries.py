@@ -61,7 +61,10 @@ def clear_geo_cache() -> None:
 def events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + deterministic derived (lat, lng) + leaf cellid (persisted
     once per session per scale factor — the materialized tiled table)."""
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark)): a stopped-and-recreated session could
+    # reuse the same object address and hand back DataFrames bound to the
+    # dead context
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _GEO_CACHE.get(key)
     if df is None:
         lat_sql, lng_sql = specs.latlng_sql("event_id")
