@@ -84,3 +84,26 @@ def test_single_cell():
 
 def test_empty_union():
     assert cellunion_boundary(CellUnion([]), 5).is_empty()
+
+
+def test_raster_vector_roundtrip_with_overlay():
+    """Loop -> covering (raster) -> boundary polygon (vector) -> overlay
+    comparison: the vectorized covering is a superset of the region, and
+    the IoU (computed with the boolean overlay kernel) is high."""
+    import math
+
+    from rust_s2_spark.kernel.overlay import polygon_intersection, polygon_union
+    from rust_s2_spark.kernel.pip import Polygon, regular_loop
+
+    center = _latlng_point(math.radians(20), math.radians(30))
+    ring = regular_loop(center, math.radians(5), 24)
+    region = Polygon.from_loops([ring])
+    cu = RegionCoverer(max_cells=64, max_level=8).covering(ring)
+    lvl = max(int(h.level(np.uint64(c))) for c in cu.ids)
+    rasterized = cellunion_boundary(cu, lvl)
+    inter = polygon_intersection(region, rasterized)
+    union = polygon_union(region, rasterized)
+    # covering is a superset: region ∩ raster == region (by area)
+    assert abs(inter.area() - region.area()) < 1e-9
+    iou = inter.area() / union.area()
+    assert iou > 0.6, iou  # level-8 cells around a 5-degree ring
