@@ -67,12 +67,25 @@ def loop_regions(
 
 
 # Per-executor memo of constructed Loop objects (origin_inside/bound prep).
-_LOOP_CACHE: dict[int, dict[str, Loop]] = {}
+_LOOP_CACHE: dict[tuple, dict[str, Loop]] = {}
+
+
+def broadcast_memo_key(spark: SparkSession, bc) -> tuple:
+    """Executor-memo key for a broadcast: (applicationId, JVM broadcast id).
+
+    NOT id(bc): Python id() values are recycled after GC while executor
+    processes outlive individual queries, so a later broadcast allocated at a
+    reused address would silently hit a stale memo entry (same bug class as
+    the tiled-table memo fixed by keying on applicationId).  The JVM broadcast
+    id is a monotonically increasing counter unique within a SparkContext; the
+    applicationId guards against worker reuse across contexts.
+    """
+    return (spark.sparkContext.applicationId, bc._jbroadcast.id())
 
 
 def _pip_refine_udf(spark: SparkSession, verts: dict[str, np.ndarray]):
     bc = spark.sparkContext.broadcast({k: v.copy() for k, v in verts.items()})
-    key = id(bc)
+    key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
     def _refine(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -116,7 +129,7 @@ def loop_join(
 
 
 # Per-executor memo for nested Polygon objects.
-_POLY_CACHE: dict[int, object] = {}
+_POLY_CACHE: dict[tuple, object] = {}
 
 
 def nested_polygon_refine_udf(spark: SparkSession, rings: list[np.ndarray]):
@@ -125,7 +138,7 @@ def nested_polygon_refine_udf(spark: SparkSession, rings: list[np.ndarray]):
     via contains_nested, polygon.rs:218-346), then contains_points runs the
     crossing-number kernel per loop and XORs parities per Arrow batch."""
     bc = spark.sparkContext.broadcast([r.copy() for r in rings])
-    key = id(bc)
+    key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
     def _refine(lat: pd.Series, lng: pd.Series) -> pd.Series:

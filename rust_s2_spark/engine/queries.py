@@ -26,7 +26,7 @@ from ..kernel.covering import RegionCoverer
 from ..kernel.region import Cap, Rect
 from . import specs, tiling
 from .join import cap_join, rect_join, covering_join
-from .polyjoin import loop_join, loop_regions
+from .polyjoin import broadcast_memo_key, loop_join, loop_regions
 from ..kernel import hierarchy as h
 
 # ---------------------------------------------------------------------------
@@ -49,13 +49,28 @@ _GEO_CACHE: dict[tuple[int, str], DataFrame] = {}
 def clear_geo_cache() -> None:
     """Unpersist + drop the memoized tiled-events tables (bench harness:
     called after warmup so the first timed query pays the materialization
-    it would pay in production)."""
+    it would pay in production).  Also reclaims query-scoped persists
+    registered by the kNN cell-ring search and embed_dedup."""
     for df in _GEO_CACHE.values():
         try:
             df.unpersist()
         except Exception:
             pass
     _GEO_CACHE.clear()
+    from .knn import clear_knn_cache
+
+    clear_knn_cache()
+    for df in _AUX_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _AUX_PERSISTS.clear()
+
+
+# Query-scoped persisted intermediates (e.g. embed_dedup's homes table)
+# registered here so repeated invocations don't accumulate cached relations.
+_AUX_PERSISTS: list[DataFrame] = []
 
 
 def events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,12 +470,12 @@ def _overlay_edge_crosses() -> list[tuple[float, float, float]]:
     return out
 
 
-# Per-executor memo of rebuilt overlay polygons.
-_OVERLAY_UDF_CACHE: dict[int, dict] = {}
+# Per-executor memo of rebuilt overlay polygons (key: broadcast_memo_key).
+_OVERLAY_UDF_CACHE: dict[tuple, dict] = {}
 
 
 # Per-executor memo for the coastline refine (Loop precompute + crosses).
-_LOOP_UDF_CACHE: dict[int, object] = {}
+_LOOP_UDF_CACHE: dict[tuple, object] = {}
 
 
 @functools.cache
@@ -497,7 +512,7 @@ def q_coastline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(verts)
     crosses = np.cross(verts, np.roll(verts, -1, axis=0))
     bc = spark.sparkContext.broadcast((verts.copy(), crosses.copy()))
-    key = id(bc)
+    key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
     def _inside(lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -552,7 +567,7 @@ def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rid, p in polys.items()
     }
     bc = spark.sparkContext.broadcast(payload)
-    key = id(bc)
+    key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
     def _inside(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -1263,6 +1278,9 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", F.col("h.bucket").alias("bucket"), F.col("h.hd").alias("hd"))
         .persist()
     )
+    # registered for reclamation: repeated invocations must not accumulate
+    # cached relations (clear_geo_cache unpersists these)
+    _AUX_PERSISTS.append(homes)
     # per-bucket radii: K rows to the driver (like centroid training)
     radii = {int(r["bucket"]): float(r["mr"]) for r in homes.groupBy("bucket").agg(F.max("hd").alias("mr")).collect()}
     cd = np.sqrt(np.maximum(2.0 - 2.0 * (cents @ cents.T), 0.0))

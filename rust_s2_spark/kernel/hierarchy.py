@@ -61,6 +61,11 @@ def _u64(cid):
 
 
 def lsb(cid):
+    if not isinstance(cid, np.ndarray):
+        # scalar fast path (coverer hot path): skip asarray + errstate; keep
+        # np.uint64 so callers' mixed `lsb(x) << _U(2)` arithmetic still works
+        c = int(cid)
+        return _U(c & -c)
     cid = _u64(cid)
     with np.errstate(over="ignore"):  # ~0 + 1 wraps (benign, correct result)
         return cid & (~cid + _U(1))
@@ -72,11 +77,15 @@ def lsb_for_level(lvl) -> np.uint64:
 
 def size_ij(lvl):
     """Edge length in leaf (i,j) units of a cell at ``lvl``."""
+    if not isinstance(lvl, np.ndarray):
+        return 1 << (MAX_LEVEL - int(lvl))
     return np.int64(1) << (np.int64(MAX_LEVEL) - np.asarray(lvl).astype(np.int64))
 
 
 def size_st(lvl):
     """Edge length in (s,t) units of a cell at ``lvl`` (cellid.rs:624-627)."""
+    if not isinstance(lvl, np.ndarray):
+        return float(size_ij(lvl)) / float(MAX_SIZE)
     return size_ij(lvl).astype(np.float64) / float(MAX_SIZE)
 
 
@@ -102,6 +111,9 @@ def _popcount(x):
 
 def level(cid):
     """Level from position of lowest set bit (cellid.rs:245-247)."""
+    if not isinstance(cid, np.ndarray):
+        c = int(cid)
+        return MAX_LEVEL - ((c & -c).bit_length() - 1) // 2
     return MAX_LEVEL - (_popcount(lsb(cid) - _U(1)) >> 1)
 
 

@@ -49,9 +49,12 @@ POS_TO_ORIENTATION = np.array([SWAP_MASK, 0, 0, INVERT_MASK | SWAP_MASK], dtype=
 def _build_lookup_tables(lookup_bits: int = LOOKUP_BITS):
     """Build the 4^bits*4-entry encode/decode tables (cellid.rs:916-994).
 
-    Parameterized ``lookup_bits``: the kernel uses the canonical 4 (8 rounds);
-    the pure-Column Spark encode uses 6 (5 rounds) to keep the expression
-    recurrence shallow — both produce identical cellids by construction.
+    Parameterized ``lookup_bits``: both the kernel and the pure-Column Spark
+    encode (engine/tiling.py) use the canonical 4 bits (8 rounds, LOOKUP_POS
+    as one 2 KB binary literal).  A 6-bit/5-round variant was evaluated for
+    the Column path and rejected — the 32 KB table literal costs more in plan
+    canonicalization than the 3 saved rounds (see engine/tiling.py notes);
+    the parameterization remains for table-construction tests.
     """
     size = 1 << (2 * lookup_bits + 2)
     lookup_pos = np.zeros(size, dtype=np.uint64)
@@ -106,6 +109,27 @@ def cellid_from_face_ij(face, i, j):
 
 def cellid_to_face_ij_orientation(cid):
     """CellID -> (face, i, j, orientation), vectorized (cellid.rs:303-331)."""
+    if not isinstance(cid, np.ndarray):
+        # scalar fast path in pure-Python ints — Cell construction inside the
+        # coverer's candidate expansion is the serial covering-generation
+        # bottleneck, and numpy uint64 scalar ops cost ~10x a python int op
+        c = int(cid)
+        f = c >> POS_BITS
+        bits = f & SWAP_MASK
+        i = j = 0
+        lut = LOOKUP_IJ
+        lb = LOOKUP_BITS
+        ijmask = (1 << lb) - 1
+        for k in range(7, -1, -1):
+            nbits = MAX_LEVEL - 7 * lb if k == 7 else lb
+            bits += ((c >> (k * 2 * lb + 1)) & ((1 << (2 * nbits)) - 1)) << 2
+            bits = int(lut[bits])
+            i += (bits >> (lb + 2)) << (k * lb)
+            j += ((bits >> 2) & ijmask) << (k * lb)
+            bits &= SWAP_MASK | INVERT_MASK
+        if (c & -c) & 0x1111111111111110:
+            bits ^= SWAP_MASK
+        return f, i, j, bits
     cid = np.asarray(cid).astype(np.uint64)
     f = cid >> _U(POS_BITS)
     bits = f & _U(SWAP_MASK)

@@ -405,7 +405,7 @@ def _vnorm(face: int, v: float) -> np.ndarray:
 class Cell:
     """Decoded cell: face/level/uv-rect + region tests (cell.rs:50-63)."""
 
-    __slots__ = ("id", "face", "level", "orientation", "u_lo", "u_hi", "v_lo", "v_hi")
+    __slots__ = ("id", "face", "level", "orientation", "u_lo", "u_hi", "v_lo", "v_hi", "_verts")
 
     def __init__(self, cid: int):
         cid = np.uint64(cid)
@@ -436,11 +436,17 @@ class Cell:
     def vertex(self, k: int) -> np.ndarray:
         u, v = self._uv_vertex(k)
         x, y, z = (float(c) for c in stuv.face_uv_to_xyz(self.face, u, v))
-        p = np.array([x, y, z])
-        return p / np.linalg.norm(p)
+        n = math.sqrt(x * x + y * y + z * z)
+        return np.array([x / n, y / n, z / n])
 
     def vertices(self) -> list[np.ndarray]:
-        return [self.vertex(k) for k in range(4)]
+        # memoized: region tests (coverer candidate expansion) hit the same
+        # cell's vertices repeatedly and vertex construction dominates there
+        try:
+            return self._verts
+        except AttributeError:
+            self._verts = [self.vertex(k) for k in range(4)]
+            return self._verts
 
     def edge(self, k: int) -> np.ndarray:
         """Inward great-circle normal of edge k (cell.rs:139-147), normalized."""

@@ -10,6 +10,8 @@ supports no other projection, metric.rs:50).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .constants import MAX_SI_TI, MAX_SIZE
@@ -32,6 +34,8 @@ __all__ = [
 
 def siti_to_st(si):
     """si/ti integer [0, 2**31] -> s/t in [0,1] (stuv.rs:7-13)."""
+    if not isinstance(si, np.ndarray):
+        return float(si) / float(MAX_SI_TI)
     return np.asarray(si, dtype=np.float64) / float(MAX_SI_TI)
 
 
@@ -43,6 +47,11 @@ def st_to_siti(s):
 
 def st_to_uv(s):
     """Quadratic projection s in [0,1] -> u in [-1,1] (stuv.rs:24-30)."""
+    if not isinstance(s, np.ndarray):
+        ss = float(s)
+        if ss >= 0.5:
+            return (1.0 / 3.0) * (4.0 * ss * ss - 1.0)
+        return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - ss) * (1.0 - ss))
     s = np.asarray(s, dtype=np.float64)
     return np.where(
         s >= 0.5,
@@ -53,6 +62,11 @@ def st_to_uv(s):
 
 def uv_to_st(u):
     """Inverse quadratic projection u in [-1,1] -> s in [0,1] (stuv.rs:32-38)."""
+    if not isinstance(u, np.ndarray):
+        uu = float(u)
+        if uu >= 0:
+            return 0.5 * math.sqrt(1.0 + 3.0 * uu)
+        return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * uu)
     u = np.asarray(u, dtype=np.float64)
     # np.where evaluates both branches; mask keeps sqrt args non-negative.
     pos = u >= 0
@@ -65,6 +79,8 @@ def uv_to_st(u):
 
 def st_to_ij(s):
     """s in [0,1] -> leaf i in [0, 2**30) with clamping (cellid.rs:800-802)."""
+    if not isinstance(s, np.ndarray):
+        return min(max(math.floor(MAX_SIZE * float(s)), 0), MAX_SIZE - 1)
     s = np.asarray(s, dtype=np.float64)
     ij = np.floor(MAX_SIZE * s).astype(np.int64)
     return np.clip(ij, 0, MAX_SIZE - 1)
@@ -72,11 +88,21 @@ def st_to_ij(s):
 
 def ij_to_stmin(i):
     """Leaf index -> minimum s of that leaf (cellid.rs:795-797)."""
+    if not isinstance(i, np.ndarray):
+        return float(i) / float(MAX_SIZE)
     return np.asarray(i, dtype=np.float64) / float(MAX_SIZE)
 
 
 def face(x, y, z):
     """Cube face 0-5 with the largest |component| (stuv.rs:40-56)."""
+    if not isinstance(x, np.ndarray):
+        xx, yy, zz = float(x), float(y), float(z)
+        ax, ay, az = abs(xx), abs(yy), abs(zz)
+        if ax > ay:
+            f, comp = (0, xx) if ax > az else (2, zz)
+        else:
+            f, comp = (1, yy) if ay > az else (2, zz)
+        return f + 3 if comp < 0 else f
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     z = np.asarray(z, dtype=np.float64)
@@ -88,6 +114,21 @@ def face(x, y, z):
 
 def valid_face_xyz_to_uv(f, x, y, z):
     """(face, xyz) -> (u, v); point must be on the +side of the face (stuv.rs:58-66)."""
+    if not (isinstance(f, np.ndarray) or isinstance(x, np.ndarray)):
+        # scalar fast path: np.select costs ~60us of broadcasting machinery
+        # per call, which dominates pure-Python geometry (coverer, Cell ops)
+        ff, xx, yy, zz = int(f), float(x), float(y), float(z)
+        if ff == 0:
+            return yy / xx, zz / xx
+        if ff == 1:
+            return -xx / yy, zz / yy
+        if ff == 2:
+            return -xx / zz, -yy / zz
+        if ff == 3:
+            return zz / xx, yy / xx
+        if ff == 4:
+            return zz / yy, -xx / yy
+        return -yy / zz, -xx / zz
     f = np.asarray(f, dtype=np.int64)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -120,6 +161,19 @@ def xyz_to_face_uv(x, y, z):
 
 def face_uv_to_xyz(f, u, v):
     """(face, u, v) -> un-normalized xyz (stuv.rs:76-86)."""
+    if not (isinstance(f, np.ndarray) or isinstance(u, np.ndarray)):
+        ff, uu, vv = int(f), float(u), float(v)
+        if ff == 0:
+            return 1.0, uu, vv
+        if ff == 1:
+            return -uu, 1.0, vv
+        if ff == 2:
+            return -uu, -vv, 1.0
+        if ff == 3:
+            return -1.0, -vv, -uu
+        if ff == 4:
+            return vv, -1.0, -uu
+        return vv, uu, -1.0
     f = np.asarray(f, dtype=np.int64)
     u = np.asarray(u, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
