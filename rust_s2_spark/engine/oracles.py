@@ -371,6 +371,75 @@ SELECT doc_id, {terms} AS simhash FROM votes
 """
 
 
+def _dot_fold(a: str, b: str) -> str:
+    """Sequential-fold dot product of two DuckDB list columns — replays
+    Spark's aggregate(zip_with(...)) exactly (same accumulation order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def o_ann_ivf() -> str:
+    """Exact replay of the deterministic IVF pipeline (queries.q_ann_ivf):
+    centroids = first 16 vectors; bucket = nearest centroid (argmax ties ->
+    lowest centroid id, matching np.argmax); probes = top-4 centroids per
+    query; candidates = home-bucket members of probed buckets; final sim =
+    the same JVM sequential fold as ann_cosine.
+
+    The only numerics that differ from the Spark path are the bucket/probe
+    scores: numpy computes argmax over (v/|v|) @ C^T while this SQL scores
+    dot(v, c)/|c| — a positive per-row rescaling, so the arg-ordering is
+    identical (FP divergence ~1e-16 could only flip an exact tie, which the
+    synthetic embeddings don't contain).  The reported sim is replayed
+    fold-exact, so round(sim, 6) hash-matches."""
+    dot_vc = _dot_fold("e.embedding", "c.cemb")
+    nc2 = _dot_fold("c.cemb", "c.cemb")
+    return f"""
+WITH cnorm AS (
+  SELECT vec_id AS cid, embedding AS cemb,
+         sqrt({_dot_fold("embedding", "embedding")}) AS cn
+  FROM embeddings WHERE vec_id < 16
+),
+sims AS (
+  SELECT e.vec_id, c.cid, {dot_vc} / c.cn AS s
+  FROM embeddings e, cnorm c
+),
+bucket AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM sims WHERE vec_id < 8) t WHERE rn <= 4
+),
+j AS (
+  SELECT p.query_id, b.vec_id, e.embedding AS ce, q.embedding AS qe
+  FROM probes p
+  JOIN bucket b ON p.bucket = b.bucket
+  JOIN embeddings e ON e.vec_id = b.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE b.vec_id <> p.query_id
+),
+d AS (
+  SELECT query_id, vec_id,
+    {_dot_fold("ce", "qe")} AS dot,
+    {_dot_fold("ce", "ce")} AS nc,
+    {_dot_fold("qe", "qe")} AS nq
+  FROM j
+),
+s AS (SELECT query_id, vec_id, dot / (sqrt(nc) * sqrt(nq)) AS sim FROM d)
+SELECT query_id, vec_id, rank, round(sim, 6) AS sim_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s) t
+WHERE rank <= 5
+"""
+
+
 def o_ann_cosine() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -1022,6 +1091,7 @@ ORACLES = {
     "simhash": o_simhash,
     "simhash_dedup": o_simhash_dedup,
     "ann_cosine": o_ann_cosine,
+    "ann_ivf": o_ann_ivf,
     "embed_dedup": o_embed_dedup,
     "span_pipeline": o_span_pipeline,
     "geo_extract": o_geo_extract,
@@ -1032,8 +1102,10 @@ ORACLES = {
     "events_hourly": o_events_hourly,
     "sessionize": o_sessionize,
 }
-# "ann_ivf" is the only rows-only query left: its probe set is approximate by
-# design; recall vs the exact ann_cosine oracle is gated in tests instead.
+# Every query is oracled.  ann_ivf's search is approximate *relative to the
+# exact ann_cosine*, but its pipeline is fully deterministic, so o_ann_ivf
+# replays it exactly; the recall@5 gate vs ann_cosine remains in tests as
+# defense-in-depth.
 
 
 def oracle_sql() -> dict[str, str]:
