@@ -34,8 +34,34 @@ from ..kernel import hierarchy as h
 # ---------------------------------------------------------------------------
 
 
+# Fact tables get spread to defaultParallelism on read (hash on their key —
+# deterministic, the local analog of a production table's thousands of
+# splits).  The sandbox testdata is one parquet file with ONE row group per
+# table, so without this every scan — and every stage above it — collapses
+# to a single task: refines, window aggs and Arrow stages all run 1-threaded.
+# At 100 TB the exchange disappears (the scan itself has enough splits and
+# the guard below skips the repartition).  Dims (region/nation) stay as-is:
+# they broadcast.
+_SPREAD_KEYS = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_KEYS.get(name)
+    if key is not None:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n, F.col(key))
+    return df
 
 
 # Per-session memo of the tiled events table: the production design

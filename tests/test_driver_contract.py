@@ -41,9 +41,10 @@ def duck():
 def test_oracle_keys_subset_of_queries(entrymod):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query is either oracled or a documented approximate op
+    # every query is oracled (ann_ivf graduated in round 3: its pipeline is
+    # deterministic, so the oracle replays it exactly)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ann_ivf"}
+    assert rows_only == set()
 
 
 def test_oracles_are_valid_duckdb(entrymod, duck):
