@@ -327,13 +327,16 @@ def o_fingerprint() -> str:
 
 
 def o_ngram_jaccard() -> str:
-    return """
+    return f"""
 WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
-grams AS (
+grams0 AS (
   SELECT DISTINCT doc_id, g
   FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(g)
 ),
+-- stop-gram cap (specs.NGRAM_DF_CAP): part of the operator semantics
+dfr AS (SELECT g, count(*) AS df FROM grams0 GROUP BY 1),
+grams AS (SELECT doc_id, g FROM grams0 JOIN dfr USING (g) WHERE df <= {specs.NGRAM_DF_CAP}),
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1049,7 +1052,12 @@ grams AS (
 ),
 gh AS (SELECT doc_id, {fold} AS gh FROM grams),
 sig AS (SELECT doc_id, {mins} FROM gh GROUP BY 1),
-bands AS ({bands_sql}),
+bands0 AS ({bands_sql}),
+-- band-bucket skew cap (specs.LSH_BUCKET_CAP): buckets larger than the cap
+-- are dropped whole (template clusters belong to exact/simhash dedup)
+bsize AS (SELECT band_idx, bk, count(*) AS bc FROM bands0 GROUP BY 1, 2),
+bands AS (SELECT doc_id, band_idx, bk FROM bands0 JOIN bsize USING (band_idx, bk)
+          WHERE bc <= {specs.LSH_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bk = b.bk

@@ -764,6 +764,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the candidate generation is MinHash-LSH (q_minhash_lsh); this is
     the exact verifier, oracle-checked brute force.
+
+    Skew cap: grams with document frequency > specs.NGRAM_DF_CAP are
+    stop-grams — dropped before the self-join (and from the per-doc sizes:
+    Jaccard is defined over non-stop grams).  Without the cap one hot gram
+    is O(df^2) in the join; the hot-gram set itself is tiny by construction
+    (few grams can exceed an absolute df cap), so it broadcasts.
     """
     docs = _read(spark, sf_dir, "documents")
     grams = docs.withColumn("t", F.split(F.col("text"), " ")).select(
@@ -778,6 +784,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > specs.NGRAM_DF_CAP)
+        .select("gram")
+    )
+    grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -881,8 +894,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(n_perm)
     ]
     # signature table computed once and persisted: it feeds the band join and
-    # both sides of the estimate join (at 100 TB this is the checkpoint table)
+    # both sides of the estimate join (at 100 TB this is the checkpoint table);
+    # registered for reclamation so repeated invocations don't accumulate
     sig = grams.groupBy("doc_id").agg(*mins).persist()
+    _AUX_PERSISTS.append(sig)
     band_structs = []
     for bnd in range(bands):
         parts = [F.col(f"m{bnd * rows_per + r}").cast("string") for r in range(rows_per)]
@@ -893,6 +908,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_df = sig.select("doc_id", F.explode(F.array(band_structs)).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bk").alias("bk")
     )
+    # skew cap: a band bucket holding > LSH_BUCKET_CAP docs is a
+    # near-identical template cluster (exact/simhash dedup's job) and would
+    # emit O(size^2) pairs — drop the bucket whole.  The hot-bucket set is
+    # tiny by construction, so it broadcasts into a left-anti join.
+    hot = (
+        bands_df.groupBy("band_idx", "bk")
+        .agg(F.count("*").alias("bc"))
+        .where(F.col("bc") > specs.LSH_BUCKET_CAP)
+        .select("band_idx", "bk")
+    )
+    bands_df = bands_df.join(F.broadcast(hot), on=["band_idx", "bk"], how="left_anti")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (

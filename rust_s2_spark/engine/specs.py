@@ -195,6 +195,20 @@ EMBED_DEDUP_TAU = 0.35  # calibrated: yields a non-trivial pair set at sf0.01
 FP_MOD = 1000000007
 FP_MULT = 31
 
+# Skew caps for the text-dedup joins (absolute, part of the operator
+# semantics — the oracles replay them).  A gram shared by > NGRAM_DF_CAP
+# docs is a stop-gram: it contributes O(df^2) candidate pairs while carrying
+# no near-dup signal, so it is dropped from the inverted index AND from the
+# per-doc gram counts (Jaccard is defined over non-stop grams).  An LSH band
+# bucket holding > LSH_BUCKET_CAP docs is a near-identical template cluster:
+# it would emit O(cap^2) pairs per bucket per band; such clusters belong to
+# exact/simhash dedup, so the bucket is dropped whole.  Both caps are far
+# above anything the test corpora produce (max gram df = 25, max bucket =
+# 12 at sf0.1), so small-SF results are unchanged; at 100 TB they bound the
+# worst bucket's pair count at 10^4 / 4x10^3 instead of corpus-quadratic.
+NGRAM_DF_CAP = 100
+LSH_BUCKET_CAP = 64
+
 # Stopword markers for the language-scoring heuristic (space-padded substring
 # counting — replace-arithmetic identical in both engines).
 LANG_MARKERS = [
