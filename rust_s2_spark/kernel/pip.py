@@ -333,6 +333,35 @@ def vertex_crossing(a, b, c, d) -> bool:
     return False
 
 
+def reference_dir(b: np.ndarray) -> np.ndarray:
+    """Unit vector != b used as the vertex-ownership reference direction
+    (point.rs:214-216: referenceDir = ortho)."""
+    return _ortho(b)
+
+
+def angle_contains_vertex(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> bool:
+    """Does the angle ABC contain its vertex B (edge_crossings.rs:397-430)?
+
+    Containment is defined so that when several polygons tile the region
+    around a vertex, EXACTLY ONE of them contains that vertex — the rule
+    that lets tiled polygons partition points with no gaps or double counts.
+    The wedge is closed at A and open at C: for R = reference_dir(b),
+    A == R -> True, C == R -> False, and the degenerate angle ABA -> False.
+
+    Properties (pinned by tests):
+      (1) angle_contains_vertex(a, b, a) == False
+      (2) angle_contains_vertex(a, b, c) == not angle_contains_vertex(c, b, a)
+          unless a == c
+      (3) for v_1..v_k cyclically CCW around b,
+          angle_contains_vertex(v_{i+1}, b, v_i) holds for exactly one i
+
+    REQUIRES a != b and b != c.  Not sufficient for polygons with duplicate
+    vertices (e.g. ABCADE) — those need the multi-edge ContainsVertexQuery
+    accumulation.
+    """
+    return not ordered_ccw(reference_dir(b), c, a, b)
+
+
 # ---------------------------------------------------------------------------
 # EdgeCrosser (edge_crosser.rs:56-347, canonical semantics)
 # ---------------------------------------------------------------------------

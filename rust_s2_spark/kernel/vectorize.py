@@ -35,6 +35,17 @@ def _corner_key(p: np.ndarray) -> tuple:
     return tuple(np.round(p, 14))
 
 
+def _turn_ccw(prev_pt: np.ndarray, v: np.ndarray, nxt_pt: np.ndarray) -> float:
+    """Signed CCW turn angle at vertex ``v`` (tangent plane, outward normal
+    v) from the incoming edge prev->v to the outgoing edge v->nxt.  Left
+    turns are positive."""
+    in_dir = np.cross(np.cross(prev_pt, v), v)
+    out_dir = np.cross(np.cross(v, nxt_pt), v)
+    s = float(np.dot(v, np.cross(in_dir, out_dir)))
+    c = float(np.dot(in_dir, out_dir))
+    return float(np.arctan2(s, c))
+
+
 def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
     """Boundary polygon of the region covered by ``cu``, traced on the
     level-``level`` grid.  ``level`` must be >= the deepest cell in the
@@ -64,6 +75,7 @@ def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
                 continue
             used.add(eid)
             ring = [first[0]]
+            prev_pt = first[0]
             cur_end = first[1]
             guard = 0
             while _corner_key(cur_end) != _corner_key(ring[0]):
@@ -73,8 +85,19 @@ def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
                 ]
                 if not nxts:
                     raise ValueError("vectorize stitch failed: open boundary chain")
-                nxt = nxts[0]
+                if len(nxts) == 1:
+                    nxt = nxts[0]
+                else:
+                    # corner-touch node (e.g. two cells of the set meeting
+                    # only diagonally): several outgoing boundary edges.
+                    # Keep each face on its own ring by taking the
+                    # continuation that turns most sharply LEFT of the
+                    # incoming edge (interior-on-left convention) — picking
+                    # arbitrarily can merge two rings into a self-touching
+                    # figure-8.
+                    nxt = max(nxts, key=lambda e: _turn_ccw(prev_pt, cur_end, e[1]))
                 used.add(id(nxt))
+                prev_pt = cur_end
                 cur_end = nxt[1]
                 guard += 1
                 if guard > 4 * len(ids) + 8:

@@ -191,3 +191,54 @@ def test_turning_angle_and_area():
     assert 0 < arctic.signed_area() < cap_area
     # small_necw is a small CW ring: its left-hand interior is most of the sphere.
     assert L("small_necw").signed_area() > 2 * math.pi
+
+
+# ---------------------------------------------------------------------------
+# angle_contains_vertex (edge_crossings.rs:397-430 + its test vectors)
+# ---------------------------------------------------------------------------
+
+
+def test_angle_contains_vertex_reference_vectors():
+    from rust_s2_spark.kernel.pip import angle_contains_vertex, reference_dir
+
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    ref_b = reference_dir(b)
+    # degenerate angle ABA
+    assert not angle_contains_vertex(a, b, a)
+    # wedge closed at A: A == referenceDir(B)
+    assert angle_contains_vertex(ref_b, b, a)
+    # wedge open at C: C == referenceDir(B)
+    assert not angle_contains_vertex(a, b, ref_b)
+
+
+def test_angle_contains_vertex_antisymmetry():
+    from rust_s2_spark.kernel.pip import angle_contains_vertex
+
+    rng = np.random.default_rng(7)
+    b = np.array([0.0, 0.0, 1.0])
+    for _ in range(50):
+        v = rng.normal(size=(2, 3))
+        a, c = (x / np.linalg.norm(x) for x in v)
+        if np.allclose(a, c):
+            continue
+        assert angle_contains_vertex(a, b, c) != angle_contains_vertex(c, b, a)
+
+
+def test_angle_contains_vertex_tiling_partition():
+    """Property (3): polygons tiling the region around a vertex — exactly one
+    wedge contains it.  v_1..v_k ordered cyclically CCW around b; the wedge
+    (v_{i+1}, b, v_i) is the tile between consecutive spokes."""
+    from rust_s2_spark.kernel.pip import angle_contains_vertex
+
+    b = np.array([0.0, 0.0, 1.0])
+    for k, phase in ((3, 0.0), (5, 0.3), (8, 1.1), (12, 2.7)):
+        spokes = []
+        for i in range(k):
+            t = phase + 2.0 * math.pi * i / k
+            v = np.array([math.cos(t), math.sin(t), 1.0])
+            spokes.append(v / np.linalg.norm(v))
+        owners = [
+            angle_contains_vertex(spokes[(i + 1) % k], b, spokes[i]) for i in range(k)
+        ]
+        assert sum(owners) == 1, (k, phase, owners)

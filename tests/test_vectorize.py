@@ -107,3 +107,43 @@ def test_raster_vector_roundtrip_with_overlay():
     assert abs(inter.area() - region.area()) < 1e-9
     iou = inter.area() / union.area()
     assert iou > 0.6, iou  # level-8 cells around a 5-degree ring
+
+
+def test_corner_touching_cells_make_two_rings():
+    """Two cells of the set meeting ONLY at a corner must vectorize into TWO
+    separate rings, each with the correct area — not one self-touching
+    figure-8 (ADVICE r2: stitching must take the most-sharply-left
+    continuation at multi-edge corner nodes, not insertion order)."""
+    lvl = 6
+    tested = 0
+    # several faces/orientations: Hilbert curve orientation varies edge
+    # insertion order, and the (-40,150) and (0,-179) pairs are ones where
+    # the wrong (most-sharply-right) rule measurably merges the rings
+    for lat, lng in ((37.0, -100.0), (5.0, 30.0), (-40.0, 150.0), (60.0, 10.0), (0.0, -179.0)):
+        base = hilbert.cellid_from_latlng(lat, lng)
+        c0 = int(np.uint64(h.parent(np.uint64(base), lvl)))
+        # a vertex neighbor that is NOT an edge neighbor = diagonal contact
+        edge_n = {int(np.uint64(x)) for x in h.edge_neighbors(np.uint64(c0))}
+        v0 = {tuple(np.round(p, 12)) for p in Cell(c0).vertices()}
+        picked = None
+        for v in h.vertex_neighbors(np.uint64(c0), lvl):
+            d = int(np.uint64(v))
+            if d in edge_n or d == c0:
+                continue
+            vd = {tuple(np.round(p, 12)) for p in Cell(d).vertices()}
+            if len(v0 & vd) == 1:  # true corner contact: one shared vertex
+                picked = d
+                break
+        if picked is None:
+            continue
+        cu = CellUnion([c0, picked])
+        poly = cellunion_boundary(cu, lvl)
+        assert poly.num_loops() == 2, (lat, lng)
+        want_area = Cell(c0).exact_area() + Cell(picked).exact_area()
+        assert abs(poly.area() - want_area) < 1e-12
+        # each ring is a valid 4-vertex cell boundary
+        for lp in poly.loops:
+            assert len(lp.vertices) == 4
+            assert lp.find_validation_error() is None
+        tested += 1
+    assert tested >= 4
