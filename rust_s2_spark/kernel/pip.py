@@ -912,6 +912,8 @@ class Loop:
     # cell, which makes covering generation crawl on coastline-sized loops
     # (the gap SURVEY §2.13 noted when ShapeIndex was replaced).
     _FACE_INDEX_THRESHOLD = 64
+    # uv-grid resolution of the per-face bucket index (16x16 over [-1,1]^2)
+    _FACE_GRID_K = 16
 
     def _face_index(self):
         """Per-face 2D edge index (lazy): gnomonic projection maps loop
@@ -933,6 +935,7 @@ class Loop:
         vf = np.asarray(_stuv.face(vx[:, 0], vx[:, 1], vx[:, 2]))
         vu, vv = _stuv.valid_face_xyz_to_uv(vf, vx[:, 0], vx[:, 1], vx[:, 2])
         idx = {}
+        K = self._FACE_GRID_K
         for f in range(6):
             arr = np.asarray(segs[f], dtype=np.float64).reshape(-1, 4)
             bbox = np.stack(
@@ -944,39 +947,70 @@ class Loop:
                 ],
                 axis=1,
             ) if len(arr) else np.zeros((0, 4))
+            # uv-grid buckets (KxK over [-1,1]^2): a cell test gathers only
+            # the buckets its rect overlaps instead of bbox-scanning every
+            # segment of the face — O(nearby) per cell, not O(n_edges)
+            grid: dict[tuple[int, int], list[int]] = {}
+            for si in range(len(arr)):
+                gi0, gi1 = _grid_span(bbox[si, 0], bbox[si, 1], K)
+                gj0, gj1 = _grid_span(bbox[si, 2], bbox[si, 3], K)
+                for gi in range(gi0, gi1 + 1):
+                    for gj in range(gj0, gj1 + 1):
+                        grid.setdefault((gi, gj), []).append(si)
+            grid_np = {k: np.asarray(v, dtype=np.int64) for k, v in grid.items()}
             m = vf == f
-            idx[f] = (arr, bbox, np.stack([vu[m], vv[m]], axis=1) if m.any() else np.zeros((0, 2)))
+            idx[f] = (
+                arr,
+                bbox,
+                np.stack([vu[m], vv[m]], axis=1) if m.any() else np.zeros((0, 2)),
+                grid_np,
+            )
         self._face_index_cache = idx
         return idx
 
     def _edges_cross_cell_indexed(self, cell) -> bool:
-        """2D segment-vs-rect sweep over the face index.  The rect is
+        """2D segment-vs-rect sweep over the face index: gather the uv-grid
+        buckets the cell rect overlaps, bbox-filter those candidates, then
+        exact Cyrus-Beck segment-vs-rect (kernel/clipping.py).  The rect is
         expanded by eps, making the answer conservative toward 'crossing' —
         safe in both covering uses (intersects_cell over-keeps candidates,
         contains_cell under-claims interiors)."""
         from .clipping import edge_intersects_rect
 
         eps = 1e-12
-        arr, bbox, _ = self._face_index()[cell.face]
+        arr, bbox, _, grid = self._face_index()[cell.face]
         if not len(arr):
             return False
         u_lo, u_hi = cell.u_lo - eps, cell.u_hi + eps
         v_lo, v_hi = cell.v_lo - eps, cell.v_hi + eps
+        K = self._FACE_GRID_K
+        gi0, gi1 = _grid_span(u_lo, u_hi, K)
+        gj0, gj1 = _grid_span(v_lo, v_hi, K)
+        chunks = [
+            grid.get((gi, gj))
+            for gi in range(gi0, gi1 + 1)
+            for gj in range(gj0, gj1 + 1)
+        ]
+        chunks = [c for c in chunks if c is not None]
+        if not chunks:
+            return False
+        cand = np.unique(np.concatenate(chunks)) if len(chunks) > 1 else chunks[0]
+        bb = bbox[cand]
         m = (
-            (bbox[:, 1] >= u_lo)
-            & (bbox[:, 0] <= u_hi)
-            & (bbox[:, 3] >= v_lo)
-            & (bbox[:, 2] <= v_hi)
+            (bb[:, 1] >= u_lo)
+            & (bb[:, 0] <= u_hi)
+            & (bb[:, 3] >= v_lo)
+            & (bb[:, 2] <= v_hi)
         )
         rect = (u_lo, u_hi, v_lo, v_hi)
-        for ax, ay, bx, by in arr[m]:
+        for ax, ay, bx, by in arr[cand[m]]:
             if edge_intersects_rect((ax, ay), (bx, by), rect):
                 return True
         return False
 
     def _vertex_in_cell_indexed(self, cell) -> bool:
         eps = 1e-12
-        _, _, verts = self._face_index()[cell.face]
+        _, _, verts, _ = self._face_index()[cell.face]
         if not len(verts):
             return False
         return bool(
@@ -1035,6 +1069,15 @@ class Loop:
         if self._any_vertex_in_cell(cell):
             return False
         return not self._edges_cross_cell(cell)
+
+
+def _grid_span(lo: float, hi: float, k: int) -> tuple[int, int]:
+    """Bucket index range [g0, g1] covering [lo, hi] on a k-bucket grid over
+    [-1, 1] (clamped; uv coordinates from padded-face clipping may poke
+    slightly outside)."""
+    g0 = int((lo + 1.0) * 0.5 * k)
+    g1 = int((hi + 1.0) * 0.5 * k)
+    return max(0, min(g0, k - 1)), max(0, min(g1, k - 1))
 
 
 def _turn_angle(a, b, c) -> float:

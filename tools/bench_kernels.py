@@ -68,6 +68,17 @@ def main():
     coverer.covering(big)
     out["coastline2048_covering_sec"] = round(time.time() - t0, 2)
 
+    big4k = regular_loop(c, math.radians(8), 4096)
+    t0 = time.time()
+    coverer.covering(big4k)
+    out["coastline4096_covering_sec"] = round(time.time() - t0, 3)
+    # deeper covering: more candidate cells -> exercises the uv-grid bucket
+    # index (per-cell candidate gather instead of O(n_edges) bbox scans)
+    deep = RegionCoverer(max_cells=256, max_level=12)
+    t0 = time.time()
+    deep.covering(big4k)
+    out["coastline4096_deep_covering_sec"] = round(time.time() - t0, 3)
+
     out["n"] = n
     print(json.dumps(out))
 
