@@ -32,6 +32,8 @@ __all__ = [
     "batch_sessions_reference",
     "stream_cap_join",
     "run_stream_cap_join_to_memory",
+    "stream_dedup_docs",
+    "run_stream_dedup_to_memory",
 ]
 
 
@@ -87,6 +89,70 @@ def run_stream_to_memory(
         counts.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (the continuous-ingest face of dedup_exact)
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    rows_per_batch: int = 500,
+    distinct_docs: int = 120,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup by content fingerprint.
+
+    The source replays the deterministic doc generator with index
+    ``value % distinct_docs``, so genuinely duplicate documents arrive
+    continuously (the streaming analog of a templated corpus).  State is
+    bounded by ``dropDuplicatesWithinWatermark``: two copies of a document
+    whose event times fall within the watermark delay are deduped, and the
+    engine evicts fingerprints older than the watermark — at 100 TB/day
+    this is the only dedup whose state does NOT grow with the corpus
+    (exact batch dedup covers the historical table; this covers the live
+    stream, with the watermark as the dedup horizon).
+    """
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        # rate-micro-batch defaults to startTimestamp=0 (epoch), and the
+        # dedup operator's late-row filter treats epoch-0 event times as not
+        # later than the initial watermark — every row of the first batches
+        # is silently dropped.  Any real start timestamp fixes it.
+        .option("startTimestamp", 1700000000000)
+        .load()
+    )
+    doc_id, spans = ingest.doc_cols(F.col("value") % F.lit(distinct_docs))
+    docs = src.select(
+        F.col("timestamp").alias("ts"), doc_id.alias("doc_id"), spans.alias("spans")
+    )
+    # fingerprint = hash of the full span sequence (kind, text, media_ref,
+    # offset) — the span-sequence invariant IS the identity of a doc
+    keyed = docs.withColumn("content_key", F.xxhash64(F.to_json(F.col("spans"))))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )
+
+
+def run_stream_dedup_to_memory(
+    spark: SparkSession,
+    rows_per_batch: int = 500,
+    distinct_docs: int = 120,
+    query_name: str = "dedup_docs",
+):
+    """Bounded drain of the dedup stream into a memory sink (availableNow)."""
+    out = stream_dedup_docs(spark, rows_per_batch, distinct_docs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

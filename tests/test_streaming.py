@@ -119,3 +119,24 @@ def test_stream_cap_join_matches_batch(spark):
     }
     assert got_set == want_set
     assert want_set, "fixture produced no spatial hits — weak test"
+
+
+def test_stream_dedup_batch_equivalence(spark):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): duplicates
+    within the watermark horizon collapse to one row per content key, and
+    the surviving key set equals the batch generator's distinct contents."""
+    M = 120
+    q = streaming.run_stream_dedup_to_memory(
+        spark, rows_per_batch=500, distinct_docs=M, query_name="dedup_test"
+    )
+    rows = spark.table("dedup_test").select("doc_id", "content_key").collect()
+    keys = [r["content_key"] for r in rows]
+    # exact dedup: one survivor per content
+    assert len(keys) == len(set(keys))
+    # batch reference: the same fingerprint over the same distinct contents
+    batch = ingest.synth_docs(spark, M, 4).withColumn(
+        "content_key", F.xxhash64(F.to_json(F.col("spans")))
+    )
+    want = {r["content_key"] for r in batch.select("content_key").collect()}
+    assert set(keys) == want
+    assert len(want) == M
