@@ -38,6 +38,8 @@ HEADLINE = [
     "span_pipeline",
     "pricing_summary",
     "sessionize",
+    "asof_join",
+    "token_count",
 ]
 
 

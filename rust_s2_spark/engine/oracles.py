@@ -1071,6 +1071,51 @@ JOIN (SELECT doc_id AS doc_b, * EXCLUDE (doc_id) FROM sig) sb USING (doc_b)
 """
 
 
+def o_asof_join() -> str:
+    """Window replay of the as-of join (same interleave-and-carry plan)."""
+    return """
+WITH pc AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+wdw AS (
+  SELECT *,
+    last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+    last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER w AS click_ts
+  FROM pc
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts AS purchase_ts, click_id, click_ts,
+  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM wdw WHERE is_p = 1
+"""
+
+
+def o_token_count() -> str:
+    from .queries import BPE_PAT
+
+    # Standard (non-escaping) SQL string: backslashes reach RE2 verbatim.
+    pat = BPE_PAT.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens,
+  CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+  round(CAST(length(regexp_extract_all(text, '{pat}')) AS DOUBLE)
+        / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE), 6)
+    AS pieces_per_word
+FROM documents
+"""
+
+
+def o_sample_hash() -> str:
+    fold = _CHAR_FOLD.format(col="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id, source, CAST(({fold}) % 10 AS INTEGER) AS bucket FROM documents)
+SELECT doc_id, source, bucket FROM h WHERE bucket < 3
+"""
+
+
 ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
@@ -1109,6 +1154,9 @@ ORACLES = {
     "top_orders": o_top_orders,
     "events_hourly": o_events_hourly,
     "sessionize": o_sessionize,
+    "asof_join": o_asof_join,
+    "token_count": o_token_count,
+    "sample_hash": o_sample_hash,
 }
 # Every query is oracled.  ann_ivf's search is approximate *relative to the
 # exact ann_cosine*, but its pipeline is fully deterministic, so o_ann_ivf

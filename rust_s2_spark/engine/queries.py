@@ -1185,6 +1185,92 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent click
+    at-or-before it (a click at the exact purchase timestamp counts).
+
+    Scale shape: the canonical distributed as-of — interleave both sides in
+    ONE shuffle keyed by user, then a running ``last(..., ignorenulls)``
+    window carries the click forward.  No range-band join, no per-key
+    explosion; wall cost is one sort per key group regardless of how the
+    click/purchase timestamps interleave.  (Spark has no built-in as-of
+    join; this composition is the standard plan a range join would
+    otherwise approximate at O(matches) cost.)
+    """
+    ev = _read(spark, sf_dir, "events")
+    pc = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    # Clicks sort before purchases at equal ts (is_p asc) => "at-or-before".
+    w = Window.partitionBy("user_id").orderBy("ts", "is_p", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = pc.withColumn(
+        "click_id", F.last(F.when(F.col("is_p") == 0, F.col("event_id")), ignorenulls=True).over(w)
+    ).withColumn(
+        "click_ts", F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w)
+    )
+    return (
+        out.where(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+            # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+            F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("gap_us"),
+        )
+    )
+
+
+# GPT-2-style pretokenizer pieces: contraction suffixes, space-prefixed
+# letter runs, digit runs, other-symbol runs.  Leftmost-first alternation
+# behaves identically in Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex pretokenizer.
+
+    Pure Catalyst regexp/char math (whole-stage codegen, no Python); the
+    per-doc piece/word ratio is the standard tokens-per-word cost signal a
+    curation pipeline thresholds on."""
+    docs = _read(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_ws = F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    n_bpe = F.regexp_count(text, F.lit(BPE_PAT))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.round(n_bpe.cast("double") / n_ws.cast("double"), 6).alias("pieces_per_word"),
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based document sampling (30% rate).
+
+    Training-data pipelines need samples that are reproducible across
+    retries, speculative re-execution, and engines — so the predicate is a
+    char-fold hash of doc_id, not rand().  Scale shape: a pure pushed-down
+    filter — no shuffle, no RNG state, trivially parallel, and the same
+    rows survive on any cluster size or retry."""
+    docs = _read(spark, sf_dir, "documents")
+    h = F.expr(
+        "aggregate(filter(split(CAST(doc_id AS STRING), ''), c -> c <> ''), "
+        f"CAST(0 AS BIGINT), {_TOKEN_HASH})"
+    )
+    return (
+        docs.withColumn("bucket", (h % 10).cast("int"))
+        .where(F.col("bucket") < 3)
+        .select("doc_id", "source", "bucket")
+    )
+
+
 def q_segment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min distance from each event to a polyline (edgeutil kernel in-engine).
 
@@ -1581,4 +1667,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "token_count": q_token_count,
+    "sample_hash": q_sample_hash,
 }
