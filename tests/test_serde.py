@@ -6,6 +6,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from rust_s2_spark.kernel import hierarchy, hilbert
 from rust_s2_spark.kernel.pip import Loop, Polygon
@@ -148,3 +150,47 @@ def test_polygon_round_trip_nested():
     np.testing.assert_array_equal(
         compact.contains_points(px, py, pz), poly.contains_points(px, py, pz)
     )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat=st.floats(-80, 80),
+    lng=st.floats(-179, 179),
+    radius=st.floats(0.01, 20.0),
+    n=st.integers(3, 64),
+)
+def test_lossless_round_trip_property(lat, lng, radius, n):
+    """Any regular loop round-trips bit-exactly with identical containment."""
+    lp = _regular(lat, lng, radius, n)
+    back = loop_decode(loop_encode(lp))
+    np.testing.assert_array_equal(back.vertices, lp.vertices)
+    assert back.origin_inside == lp.origin_inside
+    px = np.array([1.0, 0.0, 0.0, 0.577350269189626])
+    py = np.array([0.0, 1.0, 0.0, 0.577350269189626])
+    pz = np.array([0.0, 0.0, 1.0, 0.577350269189626])
+    np.testing.assert_array_equal(
+        back.contains_points(px, py, pz), lp.contains_points(px, py, pz)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat=st.floats(-60, 60),
+    lng=st.floats(-170, 170),
+    radius=st.floats(0.5, 10.0),
+    n=st.integers(4, 32),
+    snap=st.integers(12, 30),
+)
+def test_compressed_round_trip_property(lat, lng, radius, n, snap):
+    """Snapped vertices stay within the level's cell diagonal of the
+    originals, and re-encoding at the same level is stable."""
+    from rust_s2_spark.kernel.constants import MAX_DIAG
+
+    lp = _regular(lat, lng, radius, n)
+    back = loop_decode_compressed(loop_encode_compressed(lp, snap))
+    # chord distance (exact in doubles; arccos loses ~1.5e-8 near 1.0),
+    # chord = 2*sin(angle/2) <= angle, so the diagonal bounds it too
+    chords = np.linalg.norm(back.vertices - lp.vertices, axis=1)
+    assert chords.max() <= MAX_DIAG.value(snap) + 1e-15
+    again = loop_decode_compressed(loop_encode_compressed(back, snap))
+    np.testing.assert_array_equal(again.vertices, back.vertices)
