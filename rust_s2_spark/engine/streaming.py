@@ -34,6 +34,8 @@ __all__ = [
     "run_stream_cap_join_to_memory",
     "stream_dedup_docs",
     "run_stream_dedup_to_memory",
+    "stream_attribution",
+    "batch_attribution_reference",
 ]
 
 
@@ -260,6 +262,117 @@ def batch_sessions_reference(spark: SparkSession, n_rows: int) -> DataFrame:
     last = agg.groupBy("user_id").agg(F.max("session_no").alias("last_no"))
     return agg.join(last, "user_id").where(F.col("session_no") < F.col("last_no")).drop(
         "last_no"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful as-of attribution: the streaming twin of queries.q_asof_join
+# ---------------------------------------------------------------------------
+
+_ATTR_OUT = "user_id long, purchase_sec long, click_sec long, gap_sec long"
+_ATTR_STATE = "last_click_sec long"
+
+
+def _attribution_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: carry each user's most recent click
+    across micro-batches; emit one row per purchase, attributed to the last
+    click at-or-before it (clicks sort first at equal seconds — the same
+    tie rule as the batch as-of join).  Purchases before any click emit
+    NULL click/gap columns."""
+    import pandas as pd
+
+    (user_id,) = key
+    last_click = state.get[0] if state.exists else None
+    chunks = [pdf for pdf in pdf_iter]
+    out = []
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["sec", "is_p"], kind="stable"
+        )
+        for sec, is_p in zip(allrows["sec"].tolist(), allrows["is_p"].tolist()):
+            if is_p == 0:
+                last_click = sec
+            else:
+                out.append((user_id, sec, last_click))
+    state.update((last_click,))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "purchase_sec": [r[1] for r in out],
+                "click_sec": pd.array([r[2] for r in out], dtype="Int64"),
+                "gap_sec": pd.array(
+                    [None if r[2] is None else r[1] - r[2] for r in out], dtype="Int64"
+                ),
+            }
+        )
+
+
+def _attr_event_cols(value):
+    """Deterministic (user_id, sec, is_p) from a monotone row index: 8 users,
+    monotone per-user seconds.  Even users purchase on two CONSECUTIVE ticks
+    (the second purchase attributes across the first, gap = 2 ticks); odd
+    users' FIRST event is a purchase (exercises the no-prior-click path)."""
+    user = value % 8
+    seq = F.expr("value DIV 8")
+    sec = seq * 11
+    is_p = F.when(
+        (user % 2 == 1) & (seq == 0), F.lit(1)
+    ).otherwise(F.when((seq % 4 == 2) | (seq % 4 == 3), 1).otherwise(0))
+    return (
+        user.alias("user_id"),
+        sec.cast("long").alias("sec"),
+        is_p.cast("int").alias("is_p"),
+    )
+
+
+def stream_attribution(spark: SparkSession, rows_per_batch: int = 400) -> DataFrame:
+    """Continuous purchase->last-click attribution (stateful as-of).
+
+    Unlike sessionization, every purchase is emitted in the micro-batch it
+    arrives in — the state is just one value per user (the latest click),
+    so state size is O(users) regardless of stream length.  In-order
+    arrival per key is assumed (rate-micro-batch is monotone); real
+    deployments bound disorder with a watermark upstream."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    ev = src.select(*_attr_event_cols(F.col("value")))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def batch_attribution_reference(spark: SparkSession, n_rows: int) -> DataFrame:
+    """The batch as-of composition (same plan as queries.q_asof_join) over
+    the identical derived events — the oracle for stream_attribution."""
+    from pyspark.sql import Window
+
+    ev = (
+        spark.range(n_rows)
+        .select(F.col("id").alias("value"))
+        .select(*_attr_event_cols(F.col("value")))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "is_p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = ev.withColumn(
+        "click_sec", F.last(F.when(F.col("is_p") == 0, F.col("sec")), ignorenulls=True).over(w)
+    )
+    return (
+        out.where(F.col("is_p") == 1)
+        .select(
+            "user_id",
+            F.col("sec").alias("purchase_sec"),
+            "click_sec",
+            (F.col("sec") - F.col("click_sec")).alias("gap_sec"),
+        )
     )
 
 

@@ -140,3 +140,42 @@ def test_stream_dedup_batch_equivalence(spark):
     want = {r["content_key"] for r in batch.select("content_key").collect()}
     assert set(keys) == want
     assert len(want) == M
+
+
+def test_stateful_attribution_matches_batch(spark):
+    """Streaming as-of attribution across MULTIPLE micro-batches equals the
+    batch as-of window composition on the consumed prefix — including
+    purchases whose attributed click arrived in an EARLIER micro-batch, and
+    first-event purchases with no prior click (NULL columns)."""
+    import time
+
+    from rust_s2_spark.engine.streaming import (
+        batch_attribution_reference,
+        stream_attribution,
+    )
+
+    q = (
+        stream_attribution(spark, rows_per_batch=160)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    consumed = sum(p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0)
+    assert consumed >= 640, "needed multiple micro-batches to exercise state"
+    got = {tuple(r) for r in spark.table("attr_test").collect()}
+    want = {tuple(r) for r in batch_attribution_reference(spark, consumed).collect()}
+    assert got == want
+    # the scenario actually exercised both interesting paths:
+    assert any(r[2] is None for r in got), "no purchase-before-any-click case"
+    assert any(r[3] is not None and r[3] > 11 for r in got), (
+        "no attribution across a non-adjacent click (gap > one tick)"
+    )
