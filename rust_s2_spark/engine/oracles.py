@@ -1111,7 +1111,7 @@ FROM documents
 def o_sample_hash() -> str:
     fold = _CHAR_FOLD.format(col="CAST(doc_id AS VARCHAR)")
     return f"""
-WITH h AS (SELECT doc_id, source, CAST(({fold}) % 10 AS INTEGER) AS bucket FROM documents)
+WITH h AS (SELECT doc_id, source, CAST(({fold}) % 10 AS BIGINT) AS bucket FROM documents)
 SELECT doc_id, source, bucket FROM h WHERE bucket < 3
 """
 
