@@ -1390,7 +1390,7 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):
     clear_geo_cache."""
     import math
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, tau)
     hit = _EMBED_CACHE.get(key)
     if hit is not None:
         return hit
@@ -1449,7 +1449,7 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):
     return homes, pairs_long
 
 
-_EMBED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_EMBED_CACHE: dict[tuple[str, str, float], tuple[DataFrame, DataFrame]] = {}
 
 
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
