@@ -281,19 +281,36 @@ def polygon_edge_crosses() -> dict[str, list[tuple[float, float, float]]]:
     return out
 
 
+_PX_SQL = "(cos(radians(lat)) * cos(radians(lng)))"
+_PY_SQL = "(cos(radians(lat)) * sin(radians(lng)))"
+_PZ_SQL = "(sin(radians(lat)))"
+
+
+def _d(x: float) -> str:
+    """Bit-exact double literal: string->double cast round-trips IEEE754
+    exactly (plain decimal literals would parse as DECIMAL)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _margin_sql(crosses) -> str:
+    """|det(cross_k, p)| > PIP_MARGIN for every edge, as ONE parsed SQL
+    fragment.  The chained-Column form costs ~0.5 s of py4j round trips
+    per query build; the parsed text yields the identical analyzed
+    expression tree (same function calls, same operand order)."""
+    return " AND ".join(
+        f"(abs({_d(cx)} * {_PX_SQL} + {_d(cy)} * {_PY_SQL} + {_d(cz)} * {_PZ_SQL})"
+        f" > {_d(specs.PIP_MARGIN)})"
+        for cx, cy, cz in crosses
+    )
+
+
 def _margin_pred(region_col: str = "region_id"):
-    """|det(cross_k, p)| > PIP_MARGIN for every edge — Column expr, JVM trig."""
-    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
-    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
-    pz = F.sin(F.radians("lat"))
-    pred = F.lit(False)
-    for rid, crosses in polygon_edge_crosses().items():
-        ok = F.lit(True)
-        for cx, cy, cz in crosses:
-            det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
-            ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
-        pred = F.when(F.col(region_col) == rid, ok).otherwise(pred)
-    return pred
+    """|det(cross_k, p)| > PIP_MARGIN for every edge — JVM trig, one expr."""
+    arms = " ".join(
+        f"WHEN '{rid}' THEN ({_margin_sql(crosses)})"
+        for rid, crosses in polygon_edge_crosses().items()
+    )
+    return F.expr(f"CASE {region_col} {arms} ELSE false END")
 
 
 @functools.cache
@@ -375,13 +392,7 @@ def q_poly_nested_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
     levels = sorted({r[2] for r in cov_rows})
     coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
-    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
-    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
-    pz = F.sin(F.radians("lat"))
-    ok = F.lit(True)
-    for cx, cy, cz in _nested_edge_crosses():
-        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
-        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    ok = F.expr(_margin_sql(_nested_edge_crosses()))
     coarse = coarse.where(ok)
     from .polyjoin import nested_polygon_refine_udf
 
@@ -423,13 +434,7 @@ def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncoverings = spark.createDataFrame(list(ncov), _COVER_SCHEMA)
     nlevels = sorted({r[2] for r in ncov})
     ncoarse = covering_join(docs, ncoverings, id_col="event_id", levels=nlevels)
-    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
-    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
-    pz = F.sin(F.radians("lat"))
-    ok = F.lit(True)
-    for cx, cy, cz in _nested_edge_crosses():
-        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
-        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    ok = F.expr(_margin_sql(_nested_edge_crosses()))
     rings = [
         np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64)
         for r in specs.NESTED_RINGS
@@ -591,13 +596,7 @@ def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
     levels = sorted({r[2] for r in cov_rows})
     coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
-    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
-    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
-    pz = F.sin(F.radians("lat"))
-    ok = F.lit(True)
-    for cx, cy, cz in _overlay_edge_crosses():
-        det = F.lit(cx) * px + F.lit(cy) * py + F.lit(cz) * pz
-        ok = ok & (F.abs(det) > F.lit(specs.PIP_MARGIN))
+    ok = F.expr(_margin_sql(_overlay_edge_crosses()))
     coarse = coarse.where(ok)
 
     # ship the overlay polygons' loop vertex arrays + depths; rebuild once
