@@ -40,6 +40,7 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "token_count",
+    "events_cube",
 ]
 
 

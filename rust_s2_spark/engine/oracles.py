@@ -1071,6 +1071,17 @@ JOIN (SELECT doc_id AS doc_b, * EXCLUDE (doc_id) FROM sig) sb USING (doc_b)
 """
 
 
+def o_events_cube() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(GROUPING(date_trunc('hour', ts), event_type) AS BIGINT) AS gid,
+  count(*) AS cnt,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(date_trunc('hour', ts), event_type)
+"""
+
+
 def o_asof_join() -> str:
     """Window replay of the as-of join (same interleave-and-carry plan)."""
     return """
@@ -1154,6 +1165,7 @@ ORACLES = {
     "top_orders": o_top_orders,
     "events_hourly": o_events_hourly,
     "sessionize": o_sessionize,
+    "events_cube": o_events_cube,
     "asof_join": o_asof_join,
     "token_count": o_token_count,
     "sample_hash": o_sample_hash,

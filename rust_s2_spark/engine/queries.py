@@ -1179,6 +1179,33 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hour", "event_type", "cnt", F.col("_sv").cast("double").alias("sum_value"))
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass: CUBE(hour, event_type) computes
+    the (hour,type), (hour), (type) and grand-total aggregates with a single
+    shuffle — map-side partial aggregation expands each row into its grouping
+    combinations, so this beats 4 separate jobs at any scale.  grouping_id
+    disambiguates NULL-as-total from genuine NULL keys; sums ride
+    decimal(18,2) so the result is addition-order independent (exact)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    out = base.cube("hour", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("v").alias("_sv"),
+        F.grouping_id().alias("_gid"),
+    )
+    return out.select(
+        "hour",
+        "event_type",
+        F.col("_gid").cast("bigint").alias("gid"),
+        "cnt",
+        F.col("_sv").cast("double").alias("sum_value"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle) via window lag + running sum."""
     ev = _read(spark, sf_dir, "events")
@@ -1703,6 +1730,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "events_cube": q_events_cube,
     "asof_join": q_asof_join,
     "token_count": q_token_count,
     "sample_hash": q_sample_hash,
