@@ -179,3 +179,52 @@ def test_stateful_attribution_matches_batch(spark):
     assert any(r[3] is not None and r[3] > 11 for r in got), (
         "no attribution across a non-adjacent click (gap > one tick)"
     )
+
+
+def test_stream_checkpoint_recovery(spark, tmp_path):
+    """Stop a checkpointed stream and restart from the same
+    checkpointLocation: the file sink holds each source row EXACTLY once
+    (offset log + sink commit log = exactly-once across restarts) — the
+    streaming analog of the batch CheckpointManager crash-resume tests."""
+    import time
+
+    from rust_s2_spark.engine.streaming import stream_docs
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            stream_docs(spark, rows_per_batch=300)
+            .selectExpr("doc_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def wait_batches(q, n, budget=90):
+        deadline = time.time() + budget
+        while time.time() < deadline:
+            if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= n:
+                return True
+            time.sleep(0.2)
+        return False
+
+    q1 = start()
+    assert wait_batches(q1, 3), "first run made no progress"
+    q1.stop()  # simulated shutdown mid-stream
+    q1.awaitTermination(30)
+
+    q2 = start()  # resume from the same checkpoint
+    assert wait_batches(q2, 2), "restarted run made no progress"
+    q2.stop()
+    q2.awaitTermination(30)
+
+    rows = spark.read.parquet(out).select("doc_id").collect()
+    ids = sorted(int(r["doc_id"].split("-")[1]) for r in rows)
+    assert len(ids) >= 900, "expected several batches across both runs"
+    # exactly-once: dense id range with no duplicates and no holes
+    assert ids == list(range(len(ids)))
