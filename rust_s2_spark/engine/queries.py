@@ -106,6 +106,9 @@ def clear_geo_cache() -> None:
             pass
     _AUX_PERSISTS.clear()
     _EMBED_CACHE.clear()
+    # plan-object memos (no persisted data, but they pin a file-listing
+    # snapshot — a rewritten dataset dir must be re-listed after a clear)
+    _READ_CACHE.clear()
 
 
 # Query-scoped persisted intermediates (e.g. embed_dedup's homes table)
@@ -297,6 +300,8 @@ def _margin_sql(crosses) -> str:
     fragment.  The chained-Column form costs ~0.5 s of py4j round trips
     per query build; the parsed text yields the identical analyzed
     expression tree (same function calls, same operand order)."""
+    if not crosses:
+        return "true"  # degenerate ring: keep the old Column form's lit(True)
     return " AND ".join(
         f"(abs({_d(cx)} * {_PX_SQL} + {_d(cy)} * {_PY_SQL} + {_d(cz)} * {_PZ_SQL})"
         f" > {_d(specs.PIP_MARGIN)})"
@@ -1273,7 +1278,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # GPT-2-style pretokenizer pieces: contraction suffixes, space-prefixed
 # letter runs, digit runs, other-symbol runs.  Leftmost-first alternation
 # behaves identically in Java regex (Spark) and RE2 (DuckDB oracle).
-BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0b
+# (vertical tab) while RE2's does not, so \s would silently diverge on
+# the first corpus containing one.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0b\f\r']+"
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

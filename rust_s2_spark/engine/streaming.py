@@ -314,7 +314,7 @@ def _attr_event_cols(value):
     (the second purchase attributes across the first, gap = 2 ticks); odd
     users' FIRST event is a purchase (exercises the no-prior-click path)."""
     user = value % 8
-    seq = F.expr("value DIV 8")
+    seq = F.shiftright(value, 3)  # exact integer div by 8 from the passed column
     sec = seq * 11
     is_p = F.when(
         (user % 2 == 1) & (seq == 0), F.lit(1)

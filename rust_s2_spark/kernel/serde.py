@@ -52,6 +52,31 @@ def loop_encode(loop: Loop) -> bytes:
     return header + _pack_vertices(loop.vertices)
 
 
+def _apply_stored_flag(lp: Loop, origin_inside: bool) -> Loop:
+    """Make the stored ``origin_inside`` flag authoritative (as the
+    reference's decode does, loop.rs:1445-1462): if it disagrees with the
+    recomputed value, the bound — which depends on pole containment and
+    hence on the flag — must be re-derived too, or containment prefilters
+    would use the complement region's bound."""
+    if lp.origin_inside == origin_inside:
+        return lp
+    lp.origin_inside = origin_inside
+    if lp.is_empty_or_full:
+        import math
+
+        from .region import Rect, RInterval, SInterval
+
+        lp.bound = (
+            Rect(RInterval(-math.pi / 2, math.pi / 2), SInterval.full())
+            if origin_inside
+            else Rect.empty()
+        )
+        lp.subregion_bound = lp.bound
+    else:
+        lp._init_bound()
+    return lp
+
+
 def loop_decode(data: bytes) -> Loop:
     """Inverse of :func:`loop_encode` (loop.rs:1395-1462).
 
@@ -66,9 +91,7 @@ def loop_decode(data: bytes) -> Loop:
     if version != _VERSION:
         raise ValueError(f"Unknown encoding version {version}")
     vertices = _unpack_vertices(data, n, 6)
-    lp = Loop(vertices)
-    lp.origin_inside = origin_byte != 0
-    return lp
+    return _apply_stored_flag(Loop(vertices), origin_byte != 0)
 
 
 def loop_encode_compressed(loop: Loop, snap_level: int) -> bytes:
@@ -94,9 +117,7 @@ def loop_decode_compressed(data: bytes) -> Loop:
         raise ValueError(f"Encoded data too short: expected {end} bytes, found {len(data)}")
     cids = np.frombuffer(data, dtype=">u8", count=n, offset=10).astype(np.uint64)
     x, y, z = hilbert.cellid_to_xyz(cids)
-    lp = Loop(np.column_stack([x, y, z]))
-    lp.origin_inside = origin_byte != 0
-    return lp
+    return _apply_stored_flag(Loop(np.column_stack([x, y, z])), origin_byte != 0)
 
 
 def polygon_encode(poly: Polygon, snap_level: int | None = None) -> bytes:
@@ -116,12 +137,20 @@ def polygon_encode(poly: Polygon, snap_level: int | None = None) -> bytes:
 
 
 def polygon_decode(data: bytes, compressed: bool = False) -> Polygon:
+    if len(data) < 4:
+        raise ValueError("Encoded data too short")
     (n_loops,) = struct.unpack_from(">I", data, 0)
     offset = 4
     loops = []
     for _ in range(n_loops):
+        if len(data) < offset + 4:
+            raise ValueError("Encoded data too short")
         (blen,) = struct.unpack_from(">I", data, offset)
         offset += 4
+        if len(data) < offset + blen:
+            raise ValueError(
+                f"Encoded data too short: loop needs {blen} bytes, {len(data) - offset} left"
+            )
         blob = data[offset : offset + blen]
         offset += blen
         loops.append(loop_decode_compressed(blob) if compressed else loop_decode(blob))

@@ -57,7 +57,7 @@ def test_asof_single_shuffle_plan(spark, tmp_path):
     # one hashpartitioning exchange on user_id for the windows; the only
     # other exchange allowed is the spread-on-read repartition of the scan
     n_ex = plan.count("Exchange hashpartitioning")
-    assert n_ex <= 2, plan
+    assert 1 <= n_ex <= 2, plan
     assert "user_id" in plan.split("Exchange hashpartitioning")[1]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 

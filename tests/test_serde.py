@@ -194,3 +194,32 @@ def test_compressed_round_trip_property(lat, lng, radius, n, snap):
     assert chords.max() <= MAX_DIAG.value(snap) + 1e-15
     again = loop_decode_compressed(loop_encode_compressed(back, snap))
     np.testing.assert_array_equal(again.vertices, back.vertices)
+
+
+def test_compressed_decode_rebuilds_bound_for_stored_flag():
+    """When coarse snapping flips the recomputed origin_inside relative to
+    the stored flag, decode must re-derive the bound for the STORED flag
+    (loop.rs decode sets the flag before the bound); otherwise the bound
+    prefilter contradicts the parity test."""
+    from rust_s2_spark.kernel.pip import ORIGIN, Loop
+
+    found = False
+    for radius in (0.3, 0.5, 1.0, 2.0):
+        for snap in (1, 2, 3):
+            lp = _regular(-1.85, 165.0, radius, 8)  # near the S2 origin point
+            data = loop_encode_compressed(lp, snap)
+            stored = data[9] != 0
+            raw = loop_decode_compressed(data)
+            naive = Loop(raw.vertices.copy())
+            if naive.origin_inside != stored:
+                found = True
+                # flag is authoritative...
+                assert raw.origin_inside == stored
+                # ...and self-consistent: the loop contains the S2 origin
+                # point iff the flag says so (zero crossings from origin
+                # to itself), THROUGH the bound-prefiltered path
+                got = raw.contains_points(
+                    np.array([ORIGIN[0]]), np.array([ORIGIN[1]]), np.array([ORIGIN[2]])
+                )[0]
+                assert bool(got) == stored, (radius, snap)
+    assert found, "no flag-flip case exercised — adjust radii/snap levels"
