@@ -38,3 +38,24 @@ def _rows(spark, name, shuffle_parts):
 @pytest.mark.parametrize("name", CASES)
 def test_result_invariant_under_shuffle_partitions(spark, name):
     assert _rows(spark, name, 3) == _rows(spark, name, 32)
+
+
+def test_result_invariant_without_aqe(spark):
+    """AQE re-planning (coalescing, skew splits) must not change results."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    def rows():
+        clear_geo_cache()
+        df = QUERIES["minhash_lsh"](spark, SF)
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = rows()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = rows()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        clear_geo_cache()
+    assert off == on
