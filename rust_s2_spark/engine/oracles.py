@@ -443,6 +443,55 @@ WHERE rank <= 5
 """
 
 
+def o_ann_lsh() -> str:
+    """Exact replay of the multi-table LSH-ANN pipeline (queries.q_ann_lsh):
+    the same deterministic ±1 hyperplanes (shared generator), per-table
+    6-bit sign signatures via the SAME sequential fold (buckets match
+    bit-exactly), candidates = union over tables of exact-bucket
+    collisions; final sim = the fold-exact cosine."""
+    from .queries import lsh_sign_planes
+
+    hyp_vals = ", ".join(
+        f"({t}, {k}, [" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "])"
+        for t, k, signs in lsh_sign_planes()
+    )
+    dot_vh = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(e.embedding)), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * h.hl[i])), (acc, v) -> acc + v)"
+    )
+    return f"""
+WITH hyp(t, k, hl) AS (VALUES {hyp_vals}),
+bits AS (
+  SELECT e.vec_id, h.t, CASE WHEN {dot_vh} >= 0.0 THEN 1 << CAST(h.k AS INT) ELSE 0 END AS b
+  FROM embeddings e, hyp h
+),
+sig AS (SELECT vec_id, t, CAST(sum(b) AS INT) AS bucket FROM bits GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+  FROM sig q JOIN sig s ON q.t = s.t AND q.bucket = s.bucket
+  WHERE q.vec_id < 8 AND s.vec_id <> q.vec_id
+),
+j AS (
+  SELECT p.query_id, p.vec_id, e.embedding AS ce, q.embedding AS qe
+  FROM pairs p
+  JOIN embeddings e ON e.vec_id = p.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+d AS (
+  SELECT query_id, vec_id,
+    {_dot_fold("ce", "qe")} AS dot,
+    {_dot_fold("ce", "ce")} AS nc,
+    {_dot_fold("qe", "qe")} AS nq
+  FROM j
+),
+s2 AS (SELECT query_id, vec_id, dot / (sqrt(nc) * sqrt(nq)) AS sim FROM d)
+SELECT query_id, vec_id, rank, round(sim, 6) AS sim_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank FROM s2) t
+WHERE rank <= 5
+"""
+
+
 def o_ann_cosine() -> str:
     return """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -1156,6 +1205,7 @@ ORACLES = {
     "simhash_dedup": o_simhash_dedup,
     "ann_cosine": o_ann_cosine,
     "ann_ivf": o_ann_ivf,
+    "ann_lsh": o_ann_lsh,
     "embed_dedup": o_embed_dedup,
     "span_pipeline": o_span_pipeline,
     "geo_extract": o_geo_extract,

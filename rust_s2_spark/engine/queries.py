@@ -1018,6 +1018,96 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
 
 
+LSH_TABLES = 4  # L independent hash tables
+LSH_BITS = 6  # hyperplanes per table
+
+
+def lsh_sign_planes(dim: int = 64):
+    """Deterministic ±1.0 hyperplanes: [(table, [±1.0]*dim) per (t,k)].
+
+    Signs come from an integer mix of the flat hyperplane/dimension index —
+    no RNG state, so Spark and the DuckDB oracle reproduce the exact same
+    planes (and ±1 components make every dot an exact signed sum)."""
+    planes = []
+    for t in range(LSH_TABLES):
+        for k in range(LSH_BITS):
+            idx = t * LSH_BITS + k
+            signs = [
+                1.0 if (((idx * dim + d) * 2654435761 + 0x9E3779B9) >> 16) & 1 == 0 else -1.0
+                for d in range(dim)
+            ]
+            planes.append((t, k, signs))
+    return planes
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the multi-table bucketed alternative to
+    ann_ivf's IVF).
+
+    L=4 independent tables of B=6 deterministic ±1 hyperplanes; a vector's
+    per-table signature is the 6-bit sign pattern of its dots (computed as
+    the SAME sequential Catalyst fold the oracle replays — buckets are
+    bit-exactly reproducible).  Candidates = union over tables of
+    exact-bucket collisions (the classic LSH recall amplifier: one table
+    of 2B bits splits true neighbors, L tables of B bits each recover
+    them).  Scale shape: signatures are one narrow projection, the probe
+    is an L-way equi-join touching ~L/2^B of the corpus, never all-pairs;
+    at 100 TB you raise B with corpus size and L with the recall target.
+    Approximate by design; recall gated in tests/test_ann_recall.py and
+    the pipeline replayed exactly by o_ann_lsh."""
+    emb = _read(spark, sf_dir, "embeddings")
+
+    def dot_lit(signs) -> str:
+        arr = "array(" + ", ".join("1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    sigs = {}
+    for t, k, signs in lsh_sign_planes():
+        term = f"(CASE WHEN ({dot_lit(signs)}) >= 0.0D THEN {1 << k} ELSE 0 END)"
+        sigs.setdefault(t, []).append(term)
+    sig_cols = [
+        F.expr("CAST(" + " + ".join(terms) + " AS INT)").alias(f"sig{t}")
+        for t, terms in sorted(sigs.items())
+    ]
+    b = emb.select("vec_id", "embedding", *sig_cols)
+    buckets_arr = (
+        "array("
+        + ", ".join(f"named_struct('t', {t}, 'sig', sig{t})" for t in range(LSH_TABLES))
+        + ")"
+    )
+    bkt = b.select(
+        "vec_id", "embedding", F.explode(F.expr(buckets_arr)).alias("bk")
+    ).select("vec_id", "embedding", F.col("bk.t").alias("t"), F.col("bk.sig").alias("sig"))
+    q = bkt.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "t", "sig"
+    )
+    cand = bkt.select("vec_id", F.col("embedding").alias("ce"), "t", "sig")
+    j = (
+        cand.join(F.broadcast(q), ["t", "sig"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])  # a pair may collide in several tables
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nc = F.expr(
+        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = F.expr(
+        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
 # ---------------------------------------------------------------------------
 # Interleaved-span pipeline + multimodal stub
 # ---------------------------------------------------------------------------
@@ -1729,6 +1819,7 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "embed_dedup": q_embed_dedup,
     "span_pipeline": q_span_pipeline,
     "geo_extract": q_geo_extract,
