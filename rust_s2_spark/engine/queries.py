@@ -992,14 +992,10 @@ def _seq_dot_udf():
     return _dot
 
 
-def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: ordered fold dot product, double-exact."""
-    emb = _read(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
-    j = cand.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+def _cosine_topk(j: DataFrame, k: int = 5) -> DataFrame:
+    """Fold-exact cosine + deterministic top-k over (query_id, vec_id, ce,
+    qe) candidate pairs — the shared scoring tail of every ANN variant
+    (kept in ONE place so it can never drift from the oracles' _dot_fold)."""
     dot = F.expr(
         "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -1014,8 +1010,19 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
     return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: ordered fold dot product, double-exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    j = cand.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    return _cosine_topk(j)
 
 
 LSH_TABLES = 4  # L independent hash tables
@@ -1023,7 +1030,8 @@ LSH_BITS = 6  # hyperplanes per table
 
 
 def lsh_sign_planes(dim: int = 64):
-    """Deterministic ±1.0 hyperplanes: [(table, [±1.0]*dim) per (t,k)].
+    """Deterministic ±1.0 hyperplanes: list of (table, bit_k, [±1.0]*dim)
+    3-tuples, one per (t, k).
 
     Signs come from an integer mix of the flat hyperplane/dimension index —
     no RNG state, so Spark and the DuckDB oracle reproduce the exact same
@@ -1055,32 +1063,33 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB you raise B with corpus size and L with the recall target.
     Approximate by design; recall gated in tests/test_ann_recall.py and
     the pipeline replayed exactly by o_ann_lsh."""
+    from pyspark.sql.functions import pandas_udf
+
     emb = _read(spark, sf_dir, "embeddings")
+    planes = lsh_sign_planes()
 
-    def dot_lit(signs) -> str:
-        arr = "array(" + ", ".join("1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
-        return (
-            f"aggregate(zip_with(embedding, {arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+    # Arrow signature stage: numpy accumulates across rows vectorized but
+    # across dims in index order (the _seq_dot_udf trick), so every dot —
+    # and therefore every sign bucket — is bit-identical to the oracle's
+    # sequential list_reduce fold, without the interpreted CodegenFallback
+    # cost of 24 Catalyst aggregate/zip_with lambdas over the full corpus.
+    @pandas_udf("array<int>")
+    def _sigs(e: pd.Series) -> pd.Series:
+        m = np.array(e.tolist(), dtype=np.float64)
+        sigs = np.zeros((len(m), LSH_TABLES), dtype=np.int32)
+        for t, k, signs in planes:
+            acc = np.zeros(len(m))
+            for d, s in enumerate(signs):
+                acc = acc + m[:, d] * s
+            sigs[:, t] |= (acc >= 0.0).astype(np.int32) << k
+        return pd.Series(list(sigs))
 
-    sigs = {}
-    for t, k, signs in lsh_sign_planes():
-        term = f"(CASE WHEN ({dot_lit(signs)}) >= 0.0D THEN {1 << k} ELSE 0 END)"
-        sigs.setdefault(t, []).append(term)
-    sig_cols = [
-        F.expr("CAST(" + " + ".join(terms) + " AS INT)").alias(f"sig{t}")
-        for t, terms in sorted(sigs.items())
-    ]
-    b = emb.select("vec_id", "embedding", *sig_cols)
-    buckets_arr = (
-        "array("
-        + ", ".join(f"named_struct('t', {t}, 'sig', sig{t})" for t in range(LSH_TABLES))
-        + ")"
-    )
+    b = emb.select("vec_id", "embedding", _sigs("embedding").alias("sigs"))
     bkt = b.select(
-        "vec_id", "embedding", F.explode(F.expr(buckets_arr)).alias("bk")
-    ).select("vec_id", "embedding", F.col("bk.t").alias("t"), F.col("bk.sig").alias("sig"))
+        "vec_id",
+        "embedding",
+        F.posexplode("sigs").alias("t", "sig"),
+    )
     q = bkt.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "t", "sig"
     )
@@ -1090,22 +1099,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])  # a pair may collide in several tables
     )
-    dot = F.expr(
-        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nc = F.expr(
-        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nq = F.expr(
-        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
-    return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+    return _cosine_topk(j)
 
 
 # ---------------------------------------------------------------------------
@@ -1487,22 +1481,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_probes("embedding")).alias("bucket"),
     )
     j = cand.join(F.broadcast(q), on="bucket").where(F.col("vec_id") != F.col("query_id"))
-    dot = F.expr(
-        "aggregate(zip_with(ce, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nc = F.expr(
-        "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nq = F.expr(
-        "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    j = j.withColumn("sim", dot / (F.sqrt(nc) * F.sqrt(nq)))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    ranked = j.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
-    return ranked.select("query_id", "vec_id", "rank", F.round("sim", 6).alias("sim_r"))
+    return _cosine_topk(j)
 
 
 def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):

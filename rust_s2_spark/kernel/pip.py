@@ -593,14 +593,20 @@ class Loop:
         self.is_empty_or_full = n == 1
         if self.is_empty_or_full:
             self.origin_inside = self.vertices[0][2] > 0  # full loop sentinel z=+1
-            if self.origin_inside:
-                self.bound = Rect(RInterval(-PI / 2, PI / 2), SInterval.full())
-            else:
-                self.bound = Rect.empty()
+            self.bound = Loop._sentinel_bound(self.origin_inside)
             self.subregion_bound = self.bound
             return
         self._init_origin()
         self._init_bound()
+
+    @staticmethod
+    def _sentinel_bound(origin_inside: bool) -> Rect:
+        """Bound of the empty/full sentinel loops — shared with the binary
+        decoder (kernel/serde.py), which must rebuild it when the stored
+        origin flag overrides the recomputed one."""
+        if origin_inside:
+            return Rect(RInterval(-PI / 2, PI / 2), SInterval.full())
+        return Rect.empty()
 
     @staticmethod
     def from_latlng_text(text: str) -> "Loop":

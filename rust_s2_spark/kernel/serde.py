@@ -62,15 +62,7 @@ def _apply_stored_flag(lp: Loop, origin_inside: bool) -> Loop:
         return lp
     lp.origin_inside = origin_inside
     if lp.is_empty_or_full:
-        import math
-
-        from .region import Rect, RInterval, SInterval
-
-        lp.bound = (
-            Rect(RInterval(-math.pi / 2, math.pi / 2), SInterval.full())
-            if origin_inside
-            else Rect.empty()
-        )
+        lp.bound = Loop._sentinel_bound(origin_inside)
         lp.subregion_bound = lp.bound
     else:
         lp._init_bound()
