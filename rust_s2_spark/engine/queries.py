@@ -808,7 +808,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") > specs.NGRAM_DF_CAP)
         .select("gram")
     )
-    grams = grams.join(F.broadcast(hot), on="gram", how="left_anti")
+    grams = grams.join(F.broadcast(hot), on="gram", how="left_anti").persist()
+    # four plan branches consume grams (sizes + both self-join sides);
+    # without the persist each re-explodes the corpus
+    _AUX_PERSISTS.append(grams)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
