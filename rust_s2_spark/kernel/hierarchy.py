@@ -38,7 +38,10 @@ __all__ = [
     "intersects",
     "next_cell",
     "prev_cell",
+    "next_wrap",
+    "prev_wrap",
     "advance",
+    "advance_wrap",
     "common_ancestor_level",
     "max_tile",
     "size_ij",
@@ -206,6 +209,42 @@ def advance(cid, steps):
     max_steps = ((WRAP_OFFSET + lsb(cid) - cid) >> step_shift).astype(np.int64)
     steps = np.clip(steps, min_steps, max_steps)
     return cid + (steps.astype(np.uint64) << step_shift)
+
+
+def next_wrap(cid):
+    """Next cell along the Hilbert curve, wrapping from the last cell of face 5
+    to the first cell of face 0 (cellid.rs:528-537).  Not for child_end
+    sentinels."""
+    with np.errstate(over="ignore"):
+        n = next_cell(cid)
+        return np.where(n < _U(WRAP_OFFSET), n, n - _U(WRAP_OFFSET)).astype(np.uint64)
+
+
+def prev_wrap(cid):
+    """Previous cell along the Hilbert curve, wrapping from the first cell of
+    face 0 to the last cell of face 5 (cellid.rs:539-548)."""
+    with np.errstate(over="ignore"):
+        p = prev_cell(cid)  # underflow wraps mod 2**64, exactly wrapping_sub
+        return np.where(p < _U(WRAP_OFFSET), p, p + _U(WRAP_OFFSET)).astype(np.uint64)
+
+
+def advance_wrap(cid, steps):
+    """Advance ``steps`` cells along the Hilbert curve at this cell's level,
+    wrapping between the first and last faces (cellid.rs:550-579).  Vectorized;
+    Rust's truncated ``%`` is replayed with np.fmod (sign of the dividend)."""
+    cid = _u64(cid)
+    steps = np.asarray(steps).astype(np.int64)
+    lvl = np.asarray(level(cid)).astype(np.int64)
+    shift = ((2 * (MAX_LEVEL - lvl)) + 1).astype(np.uint64)
+    wrap = (_U(WRAP_OFFSET) >> shift).astype(np.int64)
+    min_s = -((cid >> shift).astype(np.int64))
+    max_s = ((_U(WRAP_OFFSET) - cid) >> shift).astype(np.int64)
+    red = np.fmod(steps, wrap)
+    s = np.where(steps < min_s, np.where(red < min_s, red + wrap, red), steps)
+    red = np.fmod(s, wrap)
+    s = np.where(s > max_s, np.where(red > max_s, red - wrap, red), s)
+    with np.errstate(over="ignore"):  # negative steps as two's-complement u64
+        return (cid + (s.astype(np.uint64) << shift)).astype(np.uint64)
 
 
 def common_ancestor_level(a, b):

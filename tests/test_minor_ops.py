@@ -195,3 +195,79 @@ def test_point_frames():
     assert np.allclose(from_frame(m, to_frame(m, p)), p)
     pts = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
     assert np.allclose(planar_centroid(pts), np.ones(3) / np.sqrt(3))
+
+
+def test_cellid_wrapping():
+    """Reference wrap vectors: cellid.rs:1536-1643 (test_cellid_wrapping)."""
+    from rust_s2_spark.kernel.constants import MAX_LEVEL
+
+    cid = h.from_face_pos_level(3, 0x12345678, MAX_LEVEL - 4)
+
+    # wrap from beginning to end of Hilbert curve
+    assert h.prev_cell(h.child_end_at_level(h.from_face(5), 0)) == h.prev_wrap(
+        h.child_begin_at_level(h.from_face(0), 0)
+    )
+    # smallest end leaf wraps to smallest first leaf (prev_wrap and advance_wrap)
+    last_leaf = h.from_face_pos_level(5, (2**64 - 1) >> 3, MAX_LEVEL)
+    first_leaf = h.child_begin_at_level(h.from_face(0), MAX_LEVEL)
+    assert h.prev_wrap(first_leaf) == last_leaf
+    assert h.advance_wrap(first_leaf, -1) == last_leaf
+    assert h.advance_wrap(first_leaf, -1) == h.prev_wrap(first_leaf)
+    # prev + next_wrap stays the same at given level
+    assert h.next_wrap(h.prev_cell(h.child_end_at_level(h.from_face(5), 4))) == (
+        h.child_begin_at_level(h.from_face(0), 4)
+    )
+    assert h.advance_wrap(h.advance(h.child_end_at_level(h.from_face(5), 4), -1), 1) == (
+        h.child_begin_at_level(h.from_face(0), 4)
+    )
+    # prev().next_wrap() stays same for first cell at level
+    assert h.next_wrap(h.prev_cell(h.child_end_at_level(h.from_face(5), MAX_LEVEL))) == (
+        h.from_face_pos_level(0, 0, MAX_LEVEL)
+    )
+    assert h.advance_wrap(h.advance(h.child_end_at_level(h.from_face(5), MAX_LEVEL), -1), 1) == (
+        h.from_face_pos_level(0, 0, MAX_LEVEL)
+    )
+    # advancing 7 steps around cube ends one past start
+    f0 = h.child_begin_at_level(h.from_face(0), 0)
+    assert h.advance_wrap(f0, 7) == h.from_face(1)
+    # twice around ends where we started
+    assert h.advance_wrap(f0, 12) == f0
+    # backwards once around plus one step is one before start
+    assert h.advance_wrap(h.from_face(5), -7) == h.from_face(4)
+    # wrapping even multiple of times around ends where we started
+    assert h.advance_wrap(f0, -12000000) == f0
+    # wrapping combination of even times around ends where it started
+    b5 = h.child_begin_at_level(h.from_face(0), 5)
+    assert h.advance_wrap(b5, 6644) == h.advance_wrap(b5, -11788)
+    # moving 256 advances one cell at max level
+    assert h.advance_wrap(h.child_begin_at_level(cid, MAX_LEVEL), 256) == (
+        h.child_begin_at_level(h.next_cell(cid), MAX_LEVEL)
+    )
+    # wrapping by 4x cells-per-face advances 4 faces
+    assert h.advance_wrap(
+        h.from_face_pos_level(5, 0, MAX_LEVEL), 2 << (2 * MAX_LEVEL)
+    ) == h.from_face_pos_level(1, 0, MAX_LEVEL)
+    # steps == 0 is the identity
+    assert h.advance_wrap(cid, 0) == cid
+
+    # vectorized parity: every scalar case above replayed through one array call
+    cids = np.array(
+        [int(first_leaf), int(f0), int(f0), int(h.from_face(5)), int(f0), int(b5), int(b5)],
+        dtype=np.uint64,
+    )
+    steps = np.array([-1, 7, 12, -7, -12000000, 6644, -11788], dtype=np.int64)
+    got = h.advance_wrap(cids, steps)
+    want = [h.advance_wrap(c, s) for c, s in zip(cids, steps)]
+    assert [int(g) for g in got] == [int(w) for w in want]
+    # next_wrap/prev_wrap vectorized round-trip at random levels
+    rng = np.random.default_rng(7)
+    faces = rng.integers(0, 6, 50)
+    lvls = rng.integers(0, 31, 50)
+    pos = rng.integers(0, 2**61, 50, dtype=np.uint64)
+    cells = np.array(
+        [int(h.from_face_pos_level(int(f), int(p), int(l))) for f, p, l in zip(faces, pos, lvls)],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(h.prev_wrap(h.next_wrap(cells)), cells)
+    assert np.array_equal(h.next_wrap(h.prev_wrap(cells)), cells)
+    assert np.array_equal(h.advance_wrap(cells, 3), h.advance_wrap(h.advance_wrap(cells, 1), 2))
