@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "s2_tile_assign",
     "s2_cap_join",
+    "s2_cap_join_clustered",
     "s2_rect_join",
     "s2_pip_join",
     "s2_poly_nested_join",

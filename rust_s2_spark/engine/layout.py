@@ -30,22 +30,28 @@ def write_clustered(
     path: str,
     cluster_col: str = "cell_id",
     n_files: int | None = None,
+    rows_per_file: int | None = None,
     rows_per_group: int | None = None,
+    bytes_per_row_hint: int = 64,
 ) -> None:
     """Write ``df`` as parquet globally sorted by ``cluster_col``.
 
-    ``rows_per_group`` caps parquet row-group size (smaller groups =
-    finer skipping granularity at slightly more footer overhead; the
-    default leaves parquet's block sizing alone).
+    ``rows_per_file`` caps rows per output FILE (the DataFrameWriter's
+    ``maxRecordsPerFile``); a file that hits the cap is split, each split
+    keeping the sort.  ``rows_per_group`` targets rows per parquet ROW
+    GROUP — parquet's group sizing is byte-based, so the target is
+    translated to ``parquet.block.size ≈ rows_per_group *
+    bytes_per_row_hint`` (smaller groups = finer footer-level skipping at
+    slightly more metadata overhead).  Omit both to leave parquet's
+    default block sizing alone.
     """
     out = df.repartitionByRange(
         n_files or df.sparkSession.sparkContext.defaultParallelism, cluster_col
     ).sortWithinPartitions(cluster_col)
     writer = out.write.mode("overwrite")
+    if rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(rows_per_file))
     if rows_per_group is not None:
-        # parquet.block.size is byte-based; the row-count knob is the
-        # writer's batch cap, honored by Spark's parquet writer
-        writer = writer.option("parquet.block.size", str(64 * 1024)).option(
-            "spark.sql.files.maxRecordsPerFile", str(rows_per_group)
-        )
+        block = max(1024, rows_per_group * bytes_per_row_hint)
+        writer = writer.option("parquet.block.size", str(block))
     writer.parquet(path)

@@ -1180,6 +1180,8 @@ ORACLES = {
     "s2_tile_assign": o_tile_assign,
     "s2_cell_hierarchy": o_cell_hierarchy,
     "s2_cap_join": o_cap_join,
+    # identical semantics over the Hilbert-clustered layout — same oracle
+    "s2_cap_join_clustered": o_cap_join,
     "s2_cap_semijoin": o_cap_semijoin,
     "s2_cap_antijoin": o_cap_antijoin,
     "s2_cap_tile_rollup": o_cap_tile_rollup,

@@ -71,3 +71,75 @@ def test_clustered_scan_prunes_in_spark(spark, tmp_path):
         for r in spark.read.parquet(clustered).where(f"cell_id BETWEEN {lo} AND {hi}").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_rows_per_file_and_group_knobs(spark, tmp_path):
+    """rows_per_file caps per-FILE row counts (maxRecordsPerFile);
+    rows_per_group shrinks parquet row groups via the derived block size."""
+    df = events_geo(spark, SF).select("event_id", "cell_id")
+    n = df.count()
+    capped = str(tmp_path / "capped")
+    write_clustered(df, capped, n_files=4, rows_per_file=200)
+    per_file = [
+        pq.ParquetFile(f).metadata.num_rows for f in glob.glob(capped + "/*.parquet")
+    ]
+    assert sum(per_file) == n
+    assert max(per_file) <= 200
+    assert len(per_file) >= n // 200  # the cap actually split files
+
+    fine = str(tmp_path / "fine")
+    write_clustered(df, fine, n_files=2, rows_per_group=100, bytes_per_row_hint=16)
+    groups = [
+        pq.ParquetFile(f).metadata.row_group(g).num_rows
+        for f in glob.glob(fine + "/*.parquet")
+        for g in range(pq.ParquetFile(f).metadata.num_row_groups)
+    ]
+    assert sum(groups) == n
+    # finer than the single-default-block layout: multiple groups per file,
+    # and the global sort still yields disjoint group ranges
+    assert len(groups) > 2
+    spans = _rowgroup_ranges(fine + "/*.parquet")
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
+def test_cap_join_clustered_prunes_and_matches(spark, tmp_path):
+    """The clustered cap-join variant returns exactly s2_cap_join's rows,
+    pushes its cell_id range disjunction into the parquet scan, and the
+    sorted layout means only a small fraction of row groups can match."""
+    from rust_s2_spark.engine.queries import (
+        _merged_cap_ranges,
+        q_cap_join,
+        q_cap_join_clustered,
+    )
+
+    got = q_cap_join_clustered(spark, SF)
+    want = q_cap_join(spark, SF)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._sc._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
+    scan = next(s for s in plan.split("\n\n") if "PushedFilters" in s and "cell_id" in s)
+    assert "GreaterThanOrEqual(cell_id" in scan and "LessThanOrEqual(cell_id" in scan
+
+    # footer-level skipping needs group span << curve: demonstrate at sf0.01
+    # (10k rows) with fine groups — the covering ranges (5.3% of the curve)
+    # touch a small minority of sorted groups but ~every random-layout group
+    from rust_s2_spark.engine.queries import events_geo
+
+    ranges = _merged_cap_ranges()
+    df01 = events_geo(spark, "/root/testdata/sf0.01").select("event_id", "cell_id")
+    c01, u01 = str(tmp_path / "c01"), str(tmp_path / "u01")
+    write_clustered(df01, c01, n_files=4, rows_per_group=128, bytes_per_row_hint=16)
+    df01.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", "2048"
+    ).parquet(u01)
+
+    def frac_touched(path):
+        spans = _rowgroup_ranges(path + "/*.parquet")
+        touched = sum(
+            1 for s_lo, s_hi in spans if any(not (s_hi < lo or s_lo > hi) for lo, hi in ranges)
+        )
+        return touched / len(spans)
+
+    assert frac_touched(c01) <= 0.25, "clustered layout should skip most groups"
+    assert frac_touched(u01) >= 0.9, "random layout touches ~every group"
