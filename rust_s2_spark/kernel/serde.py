@@ -11,8 +11,14 @@ Byte-compatible with the reference's Loop serialization
   reconstructs the snapped cell centers).
 
 Polygon framing (no reference counterpart — polygon.rs has no encode):
-u32-BE loop count followed by each loop's u32-BE byte length and its
-loop encoding, reusing either vertex codec above.
+a codec marker byte (0 = lossless, 1 = compressed) and a u32-BE loop
+count, followed by each loop's u32-BE byte length and its loop encoding,
+reusing either vertex codec above.  The marker makes the codec
+self-describing at decode; the loop codecs themselves must stay
+byte-identical to the reference so they cannot carry one — instead both
+loop decoders demand EXACT blob length, and the two layouts
+(6+24n vs 10+8n bytes) can never coincide: 24a - 8b = 4 has no integer
+solution, so a blob of one codec always fails loudly under the other.
 
 All packing/unpacking is vectorized over numpy big-endian views — no
 per-vertex Python loops — so these also serve as the row codec for
@@ -82,6 +88,10 @@ def loop_decode(data: bytes) -> Loop:
     version, n, origin_byte = struct.unpack_from(">BIB", data, 0)
     if version != _VERSION:
         raise ValueError(f"Unknown encoding version {version}")
+    if len(data) != 6 + 24 * n:
+        raise ValueError(
+            f"Lossless loop blob must be exactly {6 + 24 * n} bytes, found {len(data)}"
+        )
     vertices = _unpack_vertices(data, n, 6)
     return _apply_stored_flag(Loop(vertices), origin_byte != 0)
 
@@ -105,8 +115,10 @@ def loop_decode_compressed(data: bytes) -> Loop:
     if version != _VERSION:
         raise ValueError(f"Unknown encoding version {version}")
     end = 10 + 8 * n
-    if len(data) < end:
-        raise ValueError(f"Encoded data too short: expected {end} bytes, found {len(data)}")
+    if len(data) != end:
+        raise ValueError(
+            f"Compressed loop blob must be exactly {end} bytes, found {len(data)}"
+        )
     cids = np.frombuffer(data, dtype=">u8", count=n, offset=10).astype(np.uint64)
     x, y, z = hilbert.cellid_to_xyz(cids)
     return _apply_stored_flag(Loop(np.column_stack([x, y, z])), origin_byte != 0)
@@ -121,18 +133,29 @@ def polygon_encode(poly: Polygon, snap_level: int | None = None) -> bytes:
         loop_encode(lp) if snap_level is None else loop_encode_compressed(lp, snap_level)
         for lp in poly.loops
     ]
-    out = [struct.pack(">I", len(blobs))]
+    out = [struct.pack(">BI", 0 if snap_level is None else 1, len(blobs))]
     for b in blobs:
         out.append(struct.pack(">I", len(b)))
         out.append(b)
     return b"".join(out)
 
 
-def polygon_decode(data: bytes, compressed: bool = False) -> Polygon:
-    if len(data) < 4:
+def polygon_decode(data: bytes, compressed: bool | None = None) -> Polygon:
+    """Decode a polygon frame.  The stored codec marker is authoritative;
+    passing ``compressed`` asserts the expectation and fails loudly on a
+    mismatch instead of mis-parsing vertex bytes."""
+    if len(data) < 5:
         raise ValueError("Encoded data too short")
-    (n_loops,) = struct.unpack_from(">I", data, 0)
-    offset = 4
+    codec, n_loops = struct.unpack_from(">BI", data, 0)
+    if codec not in (0, 1):
+        raise ValueError(f"Unknown polygon codec marker {codec}")
+    stored_compressed = codec == 1
+    if compressed is not None and compressed != stored_compressed:
+        raise ValueError(
+            f"Codec mismatch: frame stores {'compressed' if stored_compressed else 'lossless'} "
+            f"loops but compressed={compressed} was requested"
+        )
+    offset = 5
     loops = []
     for _ in range(n_loops):
         if len(data) < offset + 4:
@@ -145,5 +168,5 @@ def polygon_decode(data: bytes, compressed: bool = False) -> Polygon:
             )
         blob = data[offset : offset + blen]
         offset += blen
-        loops.append(loop_decode_compressed(blob) if compressed else loop_decode(blob))
+        loops.append(loop_decode_compressed(blob) if stored_compressed else loop_decode(blob))
     return Polygon.from_loops(loops)

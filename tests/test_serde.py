@@ -86,10 +86,17 @@ def test_decode_errors():
     good = loop_encode(lp)
     with pytest.raises(ValueError, match="version"):
         loop_decode(b"\x02" + good[1:])
-    with pytest.raises(ValueError, match="too short"):
+    with pytest.raises(ValueError, match="exactly"):
         loop_decode(good[:-8])
     with pytest.raises(ValueError, match="too short"):
         loop_decode_compressed(b"\x01")
+    # exact-length checks make the two loop codecs disjoint: a compressed
+    # blob can never parse as lossless (24a - 8b = 4 has no int solution)
+    comp = loop_encode_compressed(lp, 16)
+    with pytest.raises(ValueError):
+        loop_decode(comp)
+    with pytest.raises(ValueError):
+        loop_decode_compressed(good)
 
 
 def test_compressed_layout_and_snap():
@@ -223,3 +230,21 @@ def test_compressed_decode_rebuilds_bound_for_stored_flag():
                 )[0]
                 assert bool(got) == stored, (radius, snap)
     assert found, "no flag-flip case exercised — adjust radii/snap levels"
+
+
+def test_polygon_codec_marker():
+    """The polygon frame records which loop codec it holds; decoding with a
+    wrong expectation fails loudly instead of yielding garbage vertices."""
+    outer = _regular(10.0, 20.0, 5.0, 8)
+    poly = Polygon.from_loops([outer])
+    lossless = polygon_encode(poly)
+    compact = polygon_encode(poly, snap_level=24)
+    assert lossless[0] == 0 and compact[0] == 1
+    with pytest.raises(ValueError, match="Codec mismatch"):
+        polygon_decode(lossless, compressed=True)
+    with pytest.raises(ValueError, match="Codec mismatch"):
+        polygon_decode(compact, compressed=False)
+    # marker is authoritative: no flag needed at all
+    assert len(polygon_decode(compact).loops) == 1
+    with pytest.raises(ValueError, match="codec marker"):
+        polygon_decode(b"\x07" + lossless[1:])
