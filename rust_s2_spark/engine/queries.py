@@ -1557,22 +1557,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_topk(j)
 
 
-def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):
+# Target rows per IVF bucket: sized so a bucket-pair's dense sim block
+# (~B^2 float64) fits comfortably in one applyInPandas task (4096^2 * 8B
+# = 128 MB).  K grows with the corpus so blocks stay task-sized.
+EMBED_ROWS_PER_BLOCK = 4096
+
+
+def _embed_k(n: int, k: int | None) -> int:
+    """K = f(corpus size, rows-per-block target).  Floor of 16 keeps the
+    bucketed plan shape at toy scale; ceiling of 4096 bounds the driver-side
+    O(K^2) admissible-pair enumeration (16 M pairs) — past that the pair
+    enumeration itself should become a distributed job."""
+    if k is not None:
+        return min(k, n)
+    return max(16, min(4096, -(-n // EMBED_ROWS_PER_BLOCK), n))
+
+
+def _embed_setup(spark: SparkSession, sf_dir: str, tau: float, k: int | None = None):
     """IVF training for embed_dedup: centroids (first K vectors), per-vector
     home buckets, per-bucket radii, and the triangle-inequality-admissible
     bucket-pair table.  Deterministic per (session, dataset), so memoized
     exactly like the tiled-events table — repeated invocations skip the two
     training jobs (centroid collect + radii pass).  Reclaimed by
-    clear_geo_cache."""
+    clear_geo_cache.
+
+    The admissibility argument is K-independent: for ANY bucket assignment,
+    vectors u (home i, |u - c_i| <= R_i) and v (home j) with cos(u,v) >= tau
+    satisfy d(c_i, c_j) <= |c_i - u| + |u - v| + |v - c_j| <= R_i + D + R_j,
+    so pair (i, j) is admissible whenever it can hold a qualifying pair —
+    the output is exactly the cos >= tau set at every K (proven by
+    tests/test_embed_dedup_k.py running K=16 and K=64 on the same corpus).
+    """
     import math
 
-    key = (spark.sparkContext.applicationId, sf_dir, tau)
+    key = (spark.sparkContext.applicationId, sf_dir, tau, k)
     hit = _EMBED_CACHE.get(key)
     if hit is not None:
         return hit
 
     emb = _read(spark, sf_dir, "embeddings")
-    K = 16
+    K = _embed_k(emb.count(), k)
     cent_rows = (
         emb.where(F.col("vec_id") < K).orderBy("vec_id").select("embedding").collect()
     )
@@ -1605,19 +1629,18 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):
     # per-bucket radii: K rows to the driver (like centroid training)
     radii = {int(r["bucket"]): float(r["mr"]) for r in homes.groupBy("bucket").agg(F.max("hd").alias("mr")).collect()}
     cd = np.sqrt(np.maximum(2.0 - 2.0 * (cents @ cents.T), 0.0))
+    # vectorized admissibility: occupied upper-triangle pairs with
+    # d(c_i, c_j) <= R_i + R_j + D (empty buckets get R = -inf -> never)
+    R = np.full(K, -np.inf)
+    for b, r in radii.items():
+        R[b] = r
+    adm = (cd <= R[:, None] + R[None, :] + big_d) & np.triu(np.ones((K, K), dtype=bool))
+    ii, jj = np.nonzero(adm)
     pair_rows = []
-    pid = 0
-    for i in range(K):
-        if i not in radii:
-            continue
-        for j in range(i, K):
-            if j not in radii:
-                continue
-            if cd[i, j] <= radii[i] + radii[j] + big_d:
-                pair_rows.append((i, pid, i, j))
-                if j != i:
-                    pair_rows.append((j, pid, i, j))
-                pid += 1
+    for pid, (i, j) in enumerate(zip(ii.tolist(), jj.tolist())):
+        pair_rows.append((i, pid, i, j))
+        if j != i:
+            pair_rows.append((j, pid, i, j))
     pairs_long = spark.createDataFrame(
         pair_rows, "bucket int, pair_id int, ba int, bb int"
     )
@@ -1625,10 +1648,10 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float):
     return homes, pairs_long
 
 
-_EMBED_CACHE: dict[tuple[str, str, float], tuple[DataFrame, DataFrame]] = {}
+_EMBED_CACHE: dict[tuple[str, str, float, int | None], tuple[DataFrame, DataFrame]] = {}
 
 
-def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_dedup(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT block-pair join.
 
     Scale design (no crossJoin, no per-pair Python):
@@ -1650,7 +1673,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree), never O(n^2).
     """
     tau = float(specs.EMBED_DEDUP_TAU)
-    homes, pairs_long = _embed_setup(spark, sf_dir, tau)
+    homes, pairs_long = _embed_setup(spark, sf_dir, tau, k)
     rep = homes.join(F.broadcast(pairs_long), on="bucket")
 
     def _block_sims(key, pdf):
