@@ -54,18 +54,25 @@ _SPREAD_KEYS = {
 }
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # memoized per (session, dataset, table): the spread-on-read probe
-    # (`df.rdd.getNumPartitions()`) runs full physical planning + RDD
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread_key: str | None = None
+) -> DataFrame:
+    # memoized per (session, dataset, table, spread key): the spread-on-read
+    # probe (`df.rdd.getNumPartitions()`) runs full physical planning + RDD
     # conversion, ~0.5 s of driver time per call — measurable when every
     # query in the suite starts with 1-2 reads.  DataFrames are immutable,
     # so handing back the same plan object is safe.
-    ckey = (spark.sparkContext.applicationId, sf_dir, name)
+    #
+    # ``spread_key`` overrides the table's default: a consumer whose first
+    # operator shuffles on a known key (window/agg partitionBy) passes that
+    # key so the spread IS the downstream partitioning — one Exchange total
+    # instead of a redundant spread Exchange below the operator's own.
+    ckey = (spark.sparkContext.applicationId, sf_dir, name, spread_key)
     hit = _READ_CACHE.get(ckey)
     if hit is not None:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    key = _SPREAD_KEYS.get(name)
+    key = spread_key or _SPREAD_KEYS.get(name)
     if key is not None:
         n = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < n:
@@ -74,7 +81,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_READ_CACHE: dict[tuple[str, str, str, str | None], DataFrame] = {}
 
 
 # Per-session memo of the tiled events table: the production design
@@ -105,7 +112,14 @@ def clear_geo_cache() -> None:
         except Exception:
             pass
     _AUX_PERSISTS.clear()
+    for df in _AUX_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _AUX_CACHE.clear()
     _EMBED_CACHE.clear()
+    _KNN_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
@@ -114,6 +128,20 @@ def clear_geo_cache() -> None:
 # Query-scoped persisted intermediates (e.g. embed_dedup's homes table)
 # registered here so repeated invocations don't accumulate cached relations.
 _AUX_PERSISTS: list[DataFrame] = []
+
+# Keyed persisted intermediates: re-invocations REUSE the cached relation
+# instead of stacking a new persist per call (a long-lived session that
+# never runs the bench harness must not accumulate executor storage).
+_AUX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _aux_persisted(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    df = _AUX_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _AUX_CACHE[key] = df
+    return df
 
 
 def events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,29 +887,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(df^2) in the join; the hot-gram set itself is tiny by construction
     (few grams can exceed an absolute df cap), so it broadcasts.
     """
-    docs = _read(spark, sf_dir, "documents")
-    grams = docs.withColumn("t", F.split(F.col("text"), " ")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) >= 3 THEN "
-                "array_distinct(transform(sequence(1, size(t) - 2), "
-                "i -> concat_ws(' ', element_at(t, i), "
-                "element_at(t, i + 1), element_at(t, i + 2)))) "
-                "ELSE array() END"
-            )
-        ).alias("gram"),
-    )
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > specs.NGRAM_DF_CAP)
-        .select("gram")
-    )
-    grams = grams.join(F.broadcast(hot), on="gram", how="left_anti").persist()
+    def _build_grams() -> DataFrame:
+        docs = _read(spark, sf_dir, "documents")
+        g = docs.withColumn("t", F.split(F.col("text"), " ")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN "
+                    "array_distinct(transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', element_at(t, i), "
+                    "element_at(t, i + 1), element_at(t, i + 2)))) "
+                    "ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        hot = (
+            g.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > specs.NGRAM_DF_CAP)
+            .select("gram")
+        )
+        return g.join(F.broadcast(hot), on="gram", how="left_anti")
+
     # four plan branches consume grams (sizes + both self-join sides);
-    # without the persist each re-explodes the corpus
-    _AUX_PERSISTS.append(grams)
+    # without the persist each re-explodes the corpus.  Keyed cache:
+    # re-invocations reuse instead of stacking persists.
+    grams = _aux_persisted(spark, sf_dir, "ngram_grams", _build_grams)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -963,35 +994,38 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bands x 8 rows; banded equi-join yields candidate pairs, then exact
     MinHash similarity estimate.  Deterministic (fixed hash params).
     """
-    docs = _read(spark, sf_dir, "documents")
-    grams = docs.withColumn("t", F.split(F.col("text"), " ")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(t) >= 3 THEN "
-                "array_distinct(transform(sequence(1, size(t) - 2), "
-                "i -> concat_ws(' ', element_at(t, i), "
-                "element_at(t, i + 1), element_at(t, i + 2)))) "
-                "ELSE array() END"
-            )
-        ).alias("gram"),
-    )
-    gh = F.expr(
-        f"aggregate(filter(split(gram, ''), c -> c <> ''), CAST(0 AS BIGINT), {_TOKEN_HASH})"
-    )
-    grams = grams.withColumn("gh", gh)
     n_perm, bands, rows_per = 128, 16, 8
-    mins = [
-        F.min((F.col("gh") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1)) % F.lit(specs.FP_MOD)).alias(
-            f"m{i}"
+
+    def _build_sig() -> DataFrame:
+        docs = _read(spark, sf_dir, "documents")
+        g = docs.withColumn("t", F.split(F.col("text"), " ")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN "
+                    "array_distinct(transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', element_at(t, i), "
+                    "element_at(t, i + 1), element_at(t, i + 2)))) "
+                    "ELSE array() END"
+                )
+            ).alias("gram"),
         )
-        for i in range(n_perm)
-    ]
+        gh = F.expr(
+            f"aggregate(filter(split(gram, ''), c -> c <> ''), CAST(0 AS BIGINT), {_TOKEN_HASH})"
+        )
+        g = g.withColumn("gh", gh)
+        mins = [
+            F.min(
+                (F.col("gh") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1)) % F.lit(specs.FP_MOD)
+            ).alias(f"m{i}")
+            for i in range(n_perm)
+        ]
+        return g.groupBy("doc_id").agg(*mins)
+
     # signature table computed once and persisted: it feeds the band join and
-    # both sides of the estimate join (at 100 TB this is the checkpoint table);
-    # registered for reclamation so repeated invocations don't accumulate
-    sig = grams.groupBy("doc_id").agg(*mins).persist()
-    _AUX_PERSISTS.append(sig)
+    # both sides of the estimate join (at 100 TB this is the checkpoint
+    # table); keyed cache so repeated invocations reuse, never accumulate
+    sig = _aux_persisted(spark, sf_dir, "minhash_sig", _build_sig)
     band_structs = []
     for bnd in range(bands):
         parts = [F.col(f"m{bnd * rows_per + r}").cast("string") for r in range(rows_per)]
@@ -1369,8 +1403,12 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min idle) via window lag + running sum."""
-    ev = _read(spark, sf_dir, "events")
+    """Gap-based sessionization (30-min idle) via window lag + running sum.
+
+    Reads events spread by user_id: the spread partitioning IS the window's
+    partitionBy, so the whole query runs on ONE Exchange (the groupBy below
+    clusters on a superset of user_id and reuses it too)."""
+    ev = _read(spark, sf_dir, "events", spread_key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
     new_sess = F.when(
@@ -1400,9 +1438,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion; wall cost is one sort per key group regardless of how the
     click/purchase timestamps interleave.  (Spark has no built-in as-of
     join; this composition is the standard plan a range join would
-    otherwise approximate at O(matches) cost.)
+    otherwise approximate at O(matches) cost.)  Reads events spread by
+    user_id so the spread is that one shuffle — no second Exchange.
     """
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", spread_key="user_id")
     pc = ev.where(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
         "user_id",
@@ -1741,16 +1780,29 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Must return exactly the brute-force s2_knn rows (same oracle) — the
     covering search is exact, not approximate (see engine/knn.py).
+
+    The search phases run eagerly and persist candidate blocks, so the
+    result is memoized per (session, dataset): re-invocations reuse the
+    finished search instead of re-running it and stacking persists.
     """
     from .knn import knn_cellring
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KNN_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = events_geo(spark, sf_dir)
     qs = []
     for qid, lat, lng in specs.KNN_QUERIES:
         la, ln = math.radians(lat), math.radians(lng)
         qs.append((qid, math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la)))
     out = knn_cellring(spark, docs, qs, specs.KNN_K, id_col="event_id")
-    return out.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
+    out = out.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
+    _KNN_RESULT_CACHE[key] = out
+    return out
+
+
+_KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
