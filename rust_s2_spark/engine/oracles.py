@@ -1063,6 +1063,49 @@ FROM sig
 """
 
 
+def o_simhash_banded() -> str:
+    """Replay of q_simhash_banded: same simhash CTE, k+1 disjoint bands of
+    32/(k+1) bits, the same LSH_BUCKET_CAP hot-bucket drop, band self-join,
+    and the identical integer hamming verify bit_count(xor(a,b)) <= k."""
+    from .queries import SIMHASH_HAMMING_K
+
+    k = SIMHASH_HAMMING_K
+    bands, width = k + 1, 32 // (k + 1)
+    fold = _CHAR_FOLD.format(col="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * width}) & {(1 << width) - 1} AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM documents, UNNEST(split(text, ' ')) AS u(tok)
+  WHERE tok <> ''
+),
+th AS (SELECT doc_id, {fold} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY 1),
+sig AS (SELECT doc_id, {terms} AS simhash FROM votes),
+bands0 AS ({band_selects}),
+bsize AS (SELECT band_idx, bval, count(*) AS bc FROM bands0 GROUP BY 1, 2),
+bands AS (SELECT doc_id, simhash, band_idx, bval FROM bands0 JOIN bsize USING (band_idx, bval)
+          WHERE bc <= {specs.LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sha, b.simhash AS shb
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bval = b.bval
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= {k}
+"""
+
+
 def o_minhash_lsh() -> str:
     """DuckDB replay of the full MinHash-LSH pipeline (q_minhash_lsh):
     word-3gram -> char-fold hash -> 128 affine min-hashes -> 16 banded
@@ -1205,6 +1248,7 @@ ORACLES = {
     "minhash_lsh": o_minhash_lsh,
     "simhash": o_simhash,
     "simhash_dedup": o_simhash_dedup,
+    "simhash_banded": o_simhash_banded,
     "ann_cosine": o_ann_cosine,
     "ann_ivf": o_ann_ivf,
     "ann_lsh": o_ann_lsh,

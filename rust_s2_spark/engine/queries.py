@@ -974,8 +974,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dup flag.  Scale shape: ONE window over the simhash groups — no
     self-join, no pair explosion (this corpus is heavily templated: a
     hamming<=4 pair listing would emit ~60% of all pairs; the cluster
-    form stays O(n) regardless of clustering).  minhash_lsh covers the
-    banded candidate-pair shape."""
+    form stays O(n) regardless of clustering).  q_simhash_banded covers the
+    hamming-tolerant candidate-pair shape (with the template cap)."""
     sig = q_simhash(spark, sf_dir)
     w = Window.partitionBy("simhash")
     return sig.select(
@@ -983,6 +983,73 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.min("doc_id").over(w).alias("canonical_id"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+SIMHASH_HAMMING_K = 3  # hamming tolerance -> K+1 bands of 32/(K+1) bits
+
+
+def q_simhash_banded(spark: SparkSession, sf_dir: str, k: int = SIMHASH_HAMMING_K) -> DataFrame:
+    """Hamming-tolerant SimHash near-dup pairs via banded self-join.
+
+    Pigeonhole: two 32-bit simhashes within hamming distance k agree on at
+    least one of k+1 disjoint bands, so bucketing each doc by its (band_idx,
+    band_value) and equi-joining recovers EVERY pair with
+    ``bit_count(a ^ b) <= k`` — exact recall, no probabilistic gap (unlike
+    minhash).  The band join is the minhash_lsh plan shape: ONE self-join on
+    (band_idx, band_val), never one join per band, with the same
+    ``specs.LSH_BUCKET_CAP`` skew guard — a band bucket larger than the cap
+    is a near-identical template cluster (exact/simhash_dedup's job) that
+    would emit O(size^2) pairs, so it is dropped whole via a broadcast
+    left-anti join.  The hamming verify ``bit_count(a ^ b) <= k`` runs
+    in-JVM (whole-stage codegen) on the surviving candidates.
+
+    Scale shape: 100 TB corpus -> bands explode the doc table 4x (narrow
+    rows: id + 1 byte band value + 32-bit sig), shuffle on the band key,
+    and the verify is a codegen'd bit op — no Python, no pair blow-up past
+    the cap.  For wider tolerance raise k; bands = k+1 keeps the pigeonhole
+    guarantee."""
+    bands = k + 1
+    width = 32 // bands
+    sig = q_simhash(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = sig.select(
+        "doc_id", "simhash", F.explode(F.array(band_structs)).alias("b")
+    ).select(
+        "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.bval").alias("bval")
+    )
+    hot = (
+        bands_df.groupBy("band_idx", "bval")
+        .agg(F.count("*").alias("bc"))
+        .where(F.col("bc") > specs.LSH_BUCKET_CAP)
+        .select("band_idx", "bval")
+    )
+    bands_df = bands_df.join(F.broadcast(hot), on=["band_idx", "bval"], how="left_anti")
+    a = bands_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"), "band_idx", "bval"
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"), "band_idx", "bval"
+    )
+    cand = (
+        a.join(b, on=["band_idx", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sha", "shb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sha ^ shb)").cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -1944,6 +2011,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "simhash_dedup": q_simhash_dedup,
+    "simhash_banded": q_simhash_banded,
     "minhash_lsh": q_minhash_lsh,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,

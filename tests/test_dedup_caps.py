@@ -66,6 +66,57 @@ def test_minhash_lsh_bucket_cap(spark, hot_corpus_dir):
     assert len(pairs) < 50
 
 
+def _banded_brute_force(sigs: dict[int, int], k: int) -> set[tuple[int, int, int]]:
+    """Independent Python replica of the banded-simhash contract: all pairs
+    with hamming <= k that share at least one band bucket surviving the
+    LSH_BUCKET_CAP drop (pigeonhole guarantees a <=k pair agrees on >=1 of
+    the k+1 bands, so the ONLY misses are cap-dropped template buckets)."""
+    bands, width = k + 1, 32 // (k + 1)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in sigs.items():
+        for b in range(bands):
+            buckets.setdefault((b, (s >> (b * width)) & ((1 << width) - 1)), []).append(d)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) > specs.LSH_BUCKET_CAP:
+            continue
+        for i, da in enumerate(members):
+            for db in members[i + 1:]:
+                lo, hi = min(da, db), max(da, db)
+                ham = bin(sigs[lo] ^ sigs[hi]).count("1")
+                if ham <= k:
+                    pairs.add((lo, hi, ham))
+    return pairs
+
+
+def test_simhash_banded_matches_brute_force_sf0001(spark):
+    """Exact-set equality vs the brute-force replica on the sf0.001 fixture:
+    proves the banded join loses nothing the pigeonhole argument promises."""
+    sf = "/root/testdata/sf0.001"
+    sigs = {r["doc_id"]: r["simhash"] for r in Q.q_simhash(spark, sf).collect()}
+    expected = _banded_brute_force(sigs, Q.SIMHASH_HAMMING_K)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in Q.q_simhash_banded(spark, sf).collect()
+    }
+    assert got == expected
+    assert len(got) > 0  # non-vacuous on this corpus
+
+
+def test_simhash_banded_hot_bucket_cap(spark, hot_corpus_dir):
+    """The identical-template cluster (every band bucket = N_HOT > cap) is
+    dropped whole — no quadratic pair leak — while the full result still
+    equals the brute-force replica (which models the same cap)."""
+    sigs = {r["doc_id"]: r["simhash"] for r in Q.q_simhash(spark, hot_corpus_dir).collect()}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in Q.q_simhash_banded(spark, hot_corpus_dir).collect()
+    }
+    hot_pairs = [p for p in got if p[0] < N_HOT and p[1] < N_HOT]
+    assert hot_pairs == []  # C(200,2) = 19900 pairs without the cap
+    assert got == _banded_brute_force(sigs, Q.SIMHASH_HAMMING_K)
+
+
 def test_caps_do_not_change_testdata_results():
     """The caps are calibrated above anything the synthetic corpora produce
     (BENCH.md): max gram df = 25 and max band bucket = 12 at sf0.1, so the
