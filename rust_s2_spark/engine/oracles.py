@@ -447,9 +447,10 @@ def o_ann_lsh() -> str:
     """Exact replay of the multi-table LSH-ANN pipeline (queries.q_ann_lsh):
     the same deterministic ±1 hyperplanes (shared generator), per-table
     6-bit sign signatures via the SAME sequential fold (buckets match
-    bit-exactly), candidates = union over tables of exact-bucket
-    collisions; final sim = the fold-exact cosine."""
-    from .queries import lsh_sign_planes
+    bit-exactly), candidates = union over tables of multiprobe bucket
+    collisions (exact bucket + every hamming-1 neighbor, the same 1+B
+    probe set); final sim = the fold-exact cosine."""
+    from .queries import LSH_BITS, lsh_sign_planes
 
     hyp_vals = ", ".join(
         f"({t}, {k}, [" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs) + "])"
@@ -467,10 +468,15 @@ bits AS (
   FROM embeddings e, hyp h
 ),
 sig AS (SELECT vec_id, t, CAST(sum(b) AS INT) AS bucket FROM bits GROUP BY 1, 2),
+probes AS (
+  SELECT q.vec_id AS query_id, q.t, CAST(xor(q.bucket, pb.pb) AS INT) AS bucket
+  FROM sig q, (VALUES {", ".join(f"({v})" for v in [0] + [1 << j for j in range(LSH_BITS)])}) pb(pb)
+  WHERE q.vec_id < 8
+),
 pairs AS (
-  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
-  FROM sig q JOIN sig s ON q.t = s.t AND q.bucket = s.bucket
-  WHERE q.vec_id < 8 AND s.vec_id <> q.vec_id
+  SELECT DISTINCT p.query_id, s.vec_id
+  FROM probes p JOIN sig s ON p.t = s.t AND p.bucket = s.bucket
+  WHERE s.vec_id <> p.query_id
 ),
 j AS (
   SELECT p.query_id, p.vec_id, e.embedding AS ce, q.embedding AS qe

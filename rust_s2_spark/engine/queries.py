@@ -1230,13 +1230,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-table signature is the 6-bit sign pattern of its dots (computed as
     the SAME sequential Catalyst fold the oracle replays — buckets are
     bit-exactly reproducible).  Candidates = union over tables of
-    exact-bucket collisions (the classic LSH recall amplifier: one table
-    of 2B bits splits true neighbors, L tables of B bits each recover
-    them).  Scale shape: signatures are one narrow projection, the probe
-    is an L-way equi-join touching ~L/2^B of the corpus, never all-pairs;
-    at 100 TB you raise B with corpus size and L with the recall target.
-    Approximate by design; recall gated in tests/test_ann_recall.py and
-    the pipeline replayed exactly by o_ann_lsh."""
+    bucket collisions under MULTI-PROBE: each query probes its exact
+    bucket plus all B hamming-1 neighbor buckets per table (standard
+    multiprobe LSH — a near neighbor that lands one flipped sign bit away
+    is still found, raising per-table hit probability from p^B to
+    p^B + B*p^(B-1)*(1-p) without adding tables).  Scale shape:
+    signatures are one narrow projection; multiprobe multiplies only the
+    QUERY side by (1+B) rows — the corpus-side bucket table is untouched
+    — so the probe join touches ~L*(1+B)/2^B of the corpus, never
+    all-pairs; at 100 TB you raise B with corpus size and L/probes with
+    the recall target.  Approximate by design; recall gated in
+    tests/test_ann_recall.py and the pipeline replayed exactly by
+    o_ann_lsh."""
     from pyspark.sql.functions import pandas_udf
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1264,8 +1269,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.posexplode("sigs").alias("t", "sig"),
     )
-    q = bkt.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "t", "sig"
+    # multiprobe: the query side explodes into the exact bucket + the B
+    # hamming-1 neighbor buckets (flip one sign bit at a time)
+    probe_arr = F.array(
+        F.col("sig"), *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)]
+    )
+    q = (
+        bkt.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "t",
+            F.explode(probe_arr).alias("sig"),
+        )
     )
     cand = bkt.select("vec_id", F.col("embedding").alias("ce"), "t", "sig")
     j = (

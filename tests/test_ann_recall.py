@@ -36,18 +36,24 @@ def test_ann_ivf_recall_at_5(spark):
     assert recall >= 0.9, f"recall@5={recall:.3f} per-query={per_query}"
 
 
-def test_ann_lsh_matches_lsh_theory(spark):
+def test_ann_lsh_matches_multiprobe_replica(spark):
     """The sf0.001 embeddings are near-random (true top-5 cosine ~ 0.32 —
-    an adversarial regime where NO sublinear ANN can achieve high recall
-    at a sublinear candidate budget), so the correctness statement is:
-    measured recall equals the analytic random-hyperplane expectation
-    E[1 - (1 - (1 - theta/pi)^B)^L] over the true-neighbor angles.
-    A bucketing/probing bug would push recall far BELOW theory."""
+    an adversarial regime where NO sublinear ANN achieves high recall at a
+    sublinear candidate budget), so the correctness statement is EXACT:
+    the engine's recall equals a bit-exact numpy replica of the same
+    pipeline (same sequential-fold signature accumulation as the Arrow
+    stage, same 1+B multiprobe set), and multiprobe strictly beats the
+    exact-bucket probe on the same signatures (the amplification the
+    probes exist to buy).  Measured on this fixture: 0.475 multiprobe vs
+    0.225 exact-bucket (the analytic independence approximation
+    E[1-(1-p^B - B p^(B-1)(1-p))^L] ~ 0.66 overestimates here because
+    the 24 plane-flip events per pair are correlated)."""
     import numpy as np
 
     from rust_s2_spark.engine.queries import (
         LSH_BITS,
         LSH_TABLES,
+        lsh_sign_planes,
         q_ann_cosine,
         q_ann_lsh,
     )
@@ -61,18 +67,41 @@ def test_ann_lsh_matches_lsh_theory(spark):
         total += len(truth)
     recall = hits / total
 
-    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
-           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
-    exps = []
-    for qid, truth in exact.items():
-        qv = emb[qid] / np.linalg.norm(emb[qid])
-        for vid in truth:
-            cv = emb[vid] / np.linalg.norm(emb[vid])
-            theta = np.arccos(np.clip(float(qv @ cv), -1, 1))
-            p_bit = 1 - theta / np.pi
-            exps.append(1 - (1 - p_bit ** LSH_BITS) ** LSH_TABLES)
-    expected = float(np.mean(exps))
-    assert abs(recall - expected) <= 0.15, f"measured={recall:.3f} theory={expected:.3f}"
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids == list(range(len(ids)))
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # signatures via the SAME per-dimension accumulation order as the
+    # engine's Arrow stage — signs (hence buckets) are bit-identical
+    sigs = np.zeros((len(m), LSH_TABLES), dtype=np.int64)
+    for t, k, signs in lsh_sign_planes():
+        acc = np.zeros(len(m))
+        for d, s in enumerate(signs):
+            acc = acc + m[:, d] * s
+        sigs[:, t] |= (acc >= 0.0).astype(np.int64) << k
+    d = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = d @ d.T
+    np.fill_diagonal(sims, -2)
+
+    def replica_recall(probe_hamming1: bool) -> float:
+        h = tot = 0
+        for q in range(8):
+            truth = set(np.argsort(-sims[q])[:5])
+            cand = set()
+            for t in range(LSH_TABLES):
+                probes = [sigs[q, t]]
+                if probe_hamming1:
+                    probes += [sigs[q, t] ^ (1 << j) for j in range(LSH_BITS)]
+                cand |= set(np.nonzero(np.isin(sigs[:, t], probes))[0]) - {q}
+            got = sorted(cand, key=lambda i: -sims[q][i])[:5]
+            h += len(truth & set(got))
+            tot += 5
+        return h / tot
+
+    multi = replica_recall(True)
+    single = replica_recall(False)
+    assert recall == multi, f"engine={recall:.3f} replica={multi:.3f}"
+    assert multi > single, f"multiprobe {multi:.3f} must beat exact-bucket {single:.3f}"
 
 
 def test_ann_lsh_planes_recall_on_clustered_data():
@@ -105,10 +134,13 @@ def test_ann_lsh_planes_recall_on_clustered_data():
         truth = set(np.argsort(-sims[q])[:5])
         cand = set()
         for t in range(LSH_TABLES):
-            cand |= set(np.nonzero(sigs[t] == sigs[t][q])[0]) - {q}
+            # multiprobe: exact bucket + all hamming-1 neighbors (the
+            # engine's probe set, q_ann_lsh)
+            probes = [sigs[t][q]] + [sigs[t][q] ^ (1 << j) for j in range(LSH_BITS)]
+            cand |= set(np.nonzero(np.isin(sigs[t], probes))[0]) - {q}
         cand_total += len(cand)
         got = sorted(cand, key=lambda i: -sims[q][i])[:5]
         hits += len(truth & set(got))
         tot += 5
-    assert hits / tot >= 0.8, f"clustered recall {hits/tot:.3f}"
-    assert cand_total / 16 < 250, "candidate budget should stay well under the corpus"
+    assert hits / tot >= 0.95, f"clustered recall {hits/tot:.3f}"
+    assert cand_total / 16 < 350, "candidate budget should stay well under the corpus"
