@@ -7,12 +7,24 @@ local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
 Each query is fully materialized via a noop write (count() would let Catalyst
 prune the geometry UDFs away).  Throughput for the tiling stage is reported as
 docs/sec in the extras.
+
+Protocol (v2, round 4): one COLD pass over the whole suite in order, then
+W warm passes (default 3) — each warm pass runs the whole suite again in
+order, so a query's repeats are separated by every other query (interleaved,
+never back-to-back: round-3's back-to-back repeats let one query's shuffle
+cleanup / GC land inside the next repeat's window, producing warm > cold
+artifacts).  The recorded warm number is the per-query MEDIAN of the W warm
+passes.  The headline "value" is the sum of warm medians; the cold pass is
+kept verbatim in extras.  Metric name is versioned (headline_warm_median_sec_v2)
+so historical JSONs (r1/r2 = cold totals, r3 = best-of-2 warm) are never
+compared apples-to-oranges.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,7 +46,9 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "simhash_dedup",
+    "simhash_banded",
     "ann_cosine",
+    "ann_lsh",
     "embed_dedup",
     "span_pipeline",
     "pricing_summary",
@@ -45,26 +59,79 @@ HEADLINE = [
 ]
 
 
-def run(spark, sf_dir: str, names=None, repeats: int = 1):
-    """Cold times per query; with repeats > 1 also the best warm repeat
-    (steady-state: plan/codegen caches hot, python workers spawned)."""
+def _run_once(spark, sf_dir: str, name: str) -> float:
     from rust_s2_spark.engine.queries import QUERIES
 
-    times, warm = {}, {}
-    for name in names or HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        if repeats > 1:
-            best = None
-            for _ in range(repeats - 1):
-                t1 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t1
-                best = dt if best is None else min(best, dt)
-            warm[name] = round(best, 3)
-    return times, warm
+    t0 = time.time()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def run(spark, sf_dir: str, names=None, warm_passes: int = 3):
+    """One cold pass then `warm_passes` interleaved warm passes over the
+    whole suite; returns (cold, warm_median, warm_all)."""
+    names = list(names or HEADLINE)
+    cold = {name: _run_once(spark, sf_dir, name) for name in names}
+    warm_all: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(warm_passes):
+        for name in names:
+            warm_all[name].append(_run_once(spark, sf_dir, name))
+    warm = {
+        name: round(statistics.median(ts), 3) if ts else cold[name]
+        for name, ts in warm_all.items()
+    }
+    return cold, warm, warm_all
+
+
+def _progress_rows(query) -> int:
+    rows = 0
+    for p in query.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        rows += int(p.get("numInputRows", 0))
+    return rows
+
+
+def bench_streaming(spark) -> dict:
+    """Structured Streaming micro-bench: wall-clock drain of one large
+    availableNow micro-batch through the two stateful pipelines (windowed
+    tile counts; applyInPandasWithState purchase attribution).  Rows/sec
+    includes stream startup — a regression canary, not a peak number."""
+    from rust_s2_spark.engine import streaming as S
+
+    out = {}
+
+    t0 = time.time()
+    q = S.run_stream_to_memory(
+        spark, rows_per_batch=200_000, tile_level=6, query_name="bench_stream_tiles"
+    )
+    dt = time.time() - t0
+    rows = _progress_rows(q)
+    out["stream_tile_counts"] = {
+        "rows": rows, "sec": round(dt, 3), "rows_per_sec": round(rows / dt, 1)
+    }
+
+    t1 = time.time()
+    attr = S.stream_attribution(spark, rows_per_batch=200_000)
+    q2 = (
+        attr.writeStream.format("memory")
+        .queryName("bench_stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    dt2 = time.time() - t1
+    rows2 = _progress_rows(q2)
+    out["stream_attribution"] = {
+        "rows": rows2, "sec": round(dt2, 3), "rows_per_sec": round(rows2 / dt2, 1)
+    }
+    for view in ("bench_stream_tiles", "bench_stream_attr"):
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
+    return out
 
 
 def main():
@@ -79,7 +146,7 @@ def main():
     # simultaneously costs ~5-7 s on this sandbox (mmap-lock contention on
     # concurrent numpy imports) and is pure infrastructure — production
     # executors are long-lived.
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -107,29 +174,28 @@ def main():
 
     clear_geo_cache()
 
-    # Protocol: repeats=2 by default -> the headline "value" is the best
-    # warm repeat per query (steady state: plan/codegen caches hot, python
-    # workers spawned).  Cold-path totals are kept as extras.  Steady state
-    # is the defensible number on this sandbox: mmap-lock noise swings cold
-    # walls 2-3x run-to-run (see BENCH.md), while warm repeats are stable.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    times, warm = run(spark, sf_dir, repeats=repeats)
+    warm_passes = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_PASSES", "3"))
+    cold, warm, warm_all = run(spark, sf_dir, warm_passes=warm_passes)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    cold_total = round(sum(times.values()), 3)
-    headline = warm if warm else times
     out = {
-        "metric": "headline query suite wall time (spatial join + tiling + pipeline ops; best warm repeat)",
-        "value": round(sum(headline.values()), 3),
+        "metric": "headline_warm_median_sec_v2",
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": headline,
+        "queries": warm,
         "sf": sf_dir,
-        "tile_docs_per_sec": round(n_events / headline["s2_tile_assign"], 1),
+        "tile_docs_per_sec": round(n_events / warm["s2_tile_assign"], 1),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-        "protocol": f"best-of-{repeats} per query (first run recorded in queries_cold)",
+        "protocol": (
+            f"1 cold pass + {warm_passes} interleaved warm passes over the full "
+            "suite; value = sum of per-query warm MEDIANS.  v2 is not "
+            "comparable to r1/r2 headline (cold totals) or r3 (best-of-2 "
+            "back-to-back warm); compare cold_total_sec for a cross-round basis."
+        ),
+        "queries_cold": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
     }
-    if warm:
-        out["queries_cold"] = times
-        out["cold_total_sec"] = cold_total
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        out["streaming"] = bench_streaming(spark)
     print(json.dumps(out))
 
 
