@@ -12,6 +12,8 @@ CASES = [
     "asof_join",
     "ngram_jaccard",
     "minhash_lsh",
+    "simhash_banded",
+    "ann_lsh",
     "dedup_exact",
     "events_cube",
     "s2_cap_join",
