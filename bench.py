@@ -40,6 +40,7 @@ HEADLINE = [
     "s2_poly_overlay_join",
     "s2_coastline_join",
     "s2_rasterize",
+    "s2_vectorize",
     "s2_knn",
     "s2_segment_distance",
     "dedup_exact",

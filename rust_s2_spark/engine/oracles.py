@@ -42,18 +42,13 @@ _XYZ = (
 )
 
 
-def _hilbert_ctes(id_col: str) -> str:
-    """CTE chain: pts(id, lat, lng) -> leaf(id, face, pos, cell_id).
+def _fij_ctes(id_col: str) -> str:
+    """CTE chain: pts(id, lat, lng) -> ij(id, face, i, j) leaf coordinates.
 
-    latlng -> xyz -> (face,u,v) -> (s,t) -> (i,j) -> 30-step Hilbert walk.
+    latlng -> xyz -> (face,u,v) -> (s,t) -> (i,j): the non-recursive prefix
+    of the Hilbert encode — everything a grid-coordinate query (tile masks,
+    adjacency) needs, without paying for the 30-step curve walk.
     """
-    pk_cases = " ".join(
-        f"WHEN {bits * 4 + ij} THEN {int(IJ_TO_POS[bits][ij])}"
-        for bits in range(4)
-        for ij in range(4)
-    )
-    pk_case = f"CASE (bits * 4 + ij2) {pk_cases} END"
-    new_bits = "CASE pk WHEN 0 THEN xor(bits, 1) WHEN 3 THEN xor(bits, 3) ELSE bits END"
     xyz = _XYZ.format(id=id_col, src="pts")
     return f"""
 xyz AS ({xyz}),
@@ -87,7 +82,24 @@ ij AS (
     least(greatest(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
     least(greatest(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j
   FROM stq
-),
+)
+"""
+
+
+def _hilbert_ctes(id_col: str) -> str:
+    """CTE chain: pts(id, lat, lng) -> leaf(id, face, pos, cell_id).
+
+    The _fij_ctes prefix plus the 30-step recursive Hilbert walk.
+    """
+    pk_cases = " ".join(
+        f"WHEN {bits * 4 + ij} THEN {int(IJ_TO_POS[bits][ij])}"
+        for bits in range(4)
+        for ij in range(4)
+    )
+    pk_case = f"CASE (bits * 4 + ij2) {pk_cases} END"
+    new_bits = "CASE pk WHEN 0 THEN xor(bits, 1) WHEN 3 THEN xor(bits, 3) ELSE bits END"
+    return f"""
+{_fij_ctes(id_col).strip()},
 steps({id_col}, face, i, j, k, bits, pos) AS (
   SELECT {id_col}, face, i, j, 29, face % 2, CAST(0 AS BIGINT) FROM ij
   UNION ALL
@@ -797,6 +809,150 @@ FROM sampled GROUP BY 1
 """
 
 
+def _wrap_case(col: str, n: int) -> str:
+    """CASE over face*4+dir rendering specs.FACE_WRAP for level-n grids.
+
+    ``col`` selects which output coordinate to render ('f', 'ti', 'tj');
+    the surviving edge coordinate is ti for dirs 0/2 and tj for dirs 1/3.
+    """
+
+    def sym(form: str, t: str) -> str:
+        return {"0": "0", "N1": f"{n - 1}", "T": t, "N1-T": f"({n - 1} - {t})"}[form]
+
+    arms = []
+    for (f, d), (f2, fi, fj) in sorted(specs.FACE_WRAP.items()):
+        t = "ti" if d in (0, 2) else "tj"
+        val = {"f": str(f2), "ti": sym(fi, t), "tj": sym(fj, t)}[col]
+        arms.append(f"WHEN {f * 4 + d} THEN {val}")
+    return "CASE face*4 + d " + " ".join(arms) + " END"
+
+
+def _st_to_uv_sql(s: str) -> str:
+    """Quadratic st -> uv projection (stuv.rs:24-30) as a SQL expression."""
+    return (
+        f"(CASE WHEN {s} >= 0.5 THEN (4.0*{s}*{s} - 1.0)/3.0 "
+        f"ELSE (1.0 - 4.0*(1.0-{s})*(1.0-{s}))/3.0 END)"
+    )
+
+
+def _face_uv_to_xyz_sql(face: str, u: str, v: str) -> tuple[str, str, str]:
+    """face_uv_to_xyz (stuv.rs:76-86) as SQL expressions."""
+    x = (
+        f"(CASE {face} WHEN 0 THEN 1.0 WHEN 1 THEN -{u} WHEN 2 THEN -{u} "
+        f"WHEN 3 THEN -1.0 WHEN 4 THEN {v} ELSE {v} END)"
+    )
+    y = (
+        f"(CASE {face} WHEN 0 THEN {u} WHEN 1 THEN 1.0 WHEN 2 THEN -{v} "
+        f"WHEN 3 THEN -{v} WHEN 4 THEN -1.0 ELSE {u} END)"
+    )
+    z = (
+        f"(CASE {face} WHEN 0 THEN {v} WHEN 1 THEN {v} WHEN 2 THEN 1.0 "
+        f"WHEN 3 THEN -{u} WHEN 4 THEN -{u} ELSE -1.0 END)"
+    )
+    return x, y, z
+
+
+def _vectorize_variant_ctes(variant: str, level: int, hot: bool) -> str:
+    """CTE block computing (n_cells, n_vertices, area) for one mask variant.
+
+    Raster-side combinatorics, fully independent of the stitching algorithm
+    the Spark query runs: a boundary edge is a (tile, dir) whose edge
+    neighbor — same-face step or FACE_WRAP transform — is outside the mask,
+    and every boundary edge contributes exactly one vertex to the stitched
+    loops.  The area is the sum of per-tile spherical quad areas (two
+    triangles of the 4 unit corners, the region_area_stats tri formula).
+    """
+    n = 1 << level
+    shift = 30 - level
+    v = variant
+    having = (
+        f"HAVING count(*) >= (SELECT 2.0*avg(c) FROM "
+        f"(SELECT count(*) AS c FROM ij GROUP BY face, i >> {shift}, j >> {shift}) av_{v})"
+        if hot
+        else ""
+    )
+    corners = []
+    for tag, (se, te) in {
+        "a": ("s_lo", "t_lo"),
+        "b": ("s_hi", "t_lo"),
+        "c": ("s_hi", "t_hi"),
+        "d": ("s_lo", "t_hi"),
+    }.items():
+        corners.append(
+            f"{_st_to_uv_sql(se)} AS u_{tag}, {_st_to_uv_sql(te)} AS v_{tag}"
+        )
+    xyzsel = []
+    for tag in "abcd":
+        x, y, z = _face_uv_to_xyz_sql("face", f"u_{tag}", f"v_{tag}")
+        nrm = f"sqrt(1.0 + u_{tag}*u_{tag} + v_{tag}*v_{tag})"
+        xyzsel.append(
+            f"{x}/{nrm} AS x_{tag}, {y}/{nrm} AS y_{tag}, {z}/{nrm} AS z_{tag}"
+        )
+
+    def tri(a: str, b: str, c: str) -> str:
+        det = (
+            f"(x_{a}*(y_{b}*z_{c}-z_{b}*y_{c}) + y_{a}*(z_{b}*x_{c}-x_{b}*z_{c})"
+            f" + z_{a}*(x_{b}*y_{c}-y_{b}*x_{c}))"
+        )
+        dab = f"least(greatest(x_{a}*x_{b}+y_{a}*y_{b}+z_{a}*z_{b}, -1.0), 1.0)"
+        dbc = f"least(greatest(x_{b}*x_{c}+y_{b}*y_{c}+z_{b}*z_{c}, -1.0), 1.0)"
+        dca = f"least(greatest(x_{c}*x_{a}+y_{c}*y_{a}+z_{c}*z_{a}, -1.0), 1.0)"
+        return f"2.0*atan2({det}, 1.0 + {dab} + {dbc} + {dca})"
+
+    return f"""
+tiles_{v} AS (SELECT face, i >> {shift} AS ti, j >> {shift} AS tj
+              FROM ij GROUP BY 1,2,3 {having}),
+nbr_{v} AS (
+  SELECT m.face, m.ti, m.tj, d.d,
+    m.ti + (CASE d.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+    m.tj + (CASE d.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+  FROM tiles_{v} m, (VALUES (0),(1),(2),(3)) d(d)
+),
+nbr2_{v} AS (
+  SELECT
+    CASE WHEN ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}
+         THEN face ELSE {_wrap_case('f', n)} END AS nf,
+    CASE WHEN ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}
+         THEN ri ELSE {_wrap_case('ti', n)} END AS nti,
+    CASE WHEN ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}
+         THEN rj ELSE {_wrap_case('tj', n)} END AS ntj
+  FROM nbr_{v}
+),
+bd_{v} AS (
+  SELECT count(*) AS n_vertices FROM nbr2_{v} LEFT JOIN tiles_{v} t2
+    ON nbr2_{v}.nf = t2.face AND nbr2_{v}.nti = t2.ti AND nbr2_{v}.ntj = t2.tj
+  WHERE t2.face IS NULL
+),
+st0_{v} AS (
+  SELECT face,
+    CAST(ti AS DOUBLE)/{n}.0 AS s_lo, CAST(ti+1 AS DOUBLE)/{n}.0 AS s_hi,
+    CAST(tj AS DOUBLE)/{n}.0 AS t_lo, CAST(tj+1 AS DOUBLE)/{n}.0 AS t_hi
+  FROM tiles_{v}),
+cuv_{v} AS (SELECT face, {', '.join(corners)} FROM st0_{v}),
+cxyz_{v} AS (SELECT face, {', '.join(xyzsel)} FROM cuv_{v}),
+ar_{v} AS (SELECT sum({tri('a', 'b', 'c')} + {tri('a', 'c', 'd')}) AS area,
+                  count(*) AS n_cells FROM cxyz_{v})
+"""
+
+
+def o_s2_vectorize() -> str:
+    blocks = ",".join(
+        _vectorize_variant_ctes(v, lvl, hot)
+        for v, lvl, hot in specs.VECTORIZE_VARIANTS
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{v}' AS variant, CAST({lvl} AS BIGINT) AS level, n_cells, "
+        f"n_vertices, coalesce(round(area, 7), 0.0) AS area_r FROM ar_{v}, bd_{v}"
+        for v, lvl, _hot in specs.VECTORIZE_VARIANTS
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+{blocks}
+{selects}
+"""
+
+
 def o_cap_tile_rollup() -> str:
     vals = ", ".join(
         f"('{rid}', {specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
@@ -1235,6 +1391,7 @@ ORACLES = {
     "s2_cap_antijoin": o_cap_antijoin,
     "s2_cap_tile_rollup": o_cap_tile_rollup,
     "s2_rasterize": o_rasterize,
+    "s2_vectorize": o_s2_vectorize,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_poly_nested_join": o_poly_nested_join,

@@ -1955,6 +1955,93 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_quad_areas(ids: np.ndarray, lvl: int) -> np.ndarray:
+    """Exact spherical area of each level-``lvl`` cell: two-triangle fan of
+    the 4 unit corners (CCW from the st-lo corner), with the operation order
+    mirrored by o_s2_vectorize's SQL fragment so both engines agree to well
+    below the 1e-7 rounding granularity (measured cross-engine drift on the
+    full masks: < 1e-12)."""
+    from ..kernel import stuv
+
+    f, i, j, _ = h.cellid_to_face_ij_orientation(np.asarray(ids, dtype=np.uint64))
+    n = float(1 << lvl)
+    shift = 30 - lvl
+    ti = (i >> shift).astype(np.float64)
+    tj = (j >> shift).astype(np.float64)
+    s_lo, s_hi = ti / n, (ti + 1.0) / n
+    t_lo, t_hi = tj / n, (tj + 1.0) / n
+
+    def corner(s, t):
+        u = np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
+                     (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+        v = np.where(t >= 0.5, (4.0 * t * t - 1.0) / 3.0,
+                     (1.0 - 4.0 * (1.0 - t) * (1.0 - t)) / 3.0)
+        x, y, z = stuv.face_uv_to_xyz(f.astype(np.int64), u, v)
+        nn = np.sqrt(1.0 + u * u + v * v)
+        return x / nn, y / nn, z / nn
+
+    va = corner(s_lo, t_lo)
+    vb = corner(s_hi, t_lo)
+    vc = corner(s_hi, t_hi)
+    vd = corner(s_lo, t_hi)
+
+    def tri(a, b, c):
+        det = (a[0] * (b[1] * c[2] - b[2] * c[1])
+               + a[1] * (b[2] * c[0] - b[0] * c[2])
+               + a[2] * (b[0] * c[1] - b[1] * c[0]))
+        dab = np.clip(a[0] * b[0] + a[1] * b[1] + a[2] * b[2], -1.0, 1.0)
+        dbc = np.clip(b[0] * c[0] + b[1] * c[1] + b[2] * c[2], -1.0, 1.0)
+        dca = np.clip(c[0] * a[0] + c[1] * a[1] + c[2] * a[2], -1.0, 1.0)
+        return 2.0 * np.arctan2(det, 1.0 + dab + dbc + dca)
+
+    return tri(va, vb, vc) + tri(va, vc, vd)
+
+
+def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector side of raster<->vector (kernel/vectorize.py): data-derived
+    tile masks stitched into their boundary polygons.  Two variants from the
+    SAME distributed per-tile groupBy: 'occ' (every occupied level-4 tile —
+    near-global at sf>=0.01, the boundary traces the holes) and 'hot'
+    (level-5 tiles holding >= 2x the mean count — a scattered archipelago).
+    The groupBy is the only data-scale stage; its result is GRID-bounded
+    (<= 6*4^L rows regardless of input rows), so collecting it for the
+    driver-side stitch is O(grid), the RegionCoverer pattern.  Output per
+    variant: n_cells, n_vertices of the stitched rings (== boundary edge
+    count: each boundary edge contributes exactly one vertex), and the
+    mask's exact spherical area.  The oracle recomputes all three
+    combinatorially — edge-neighbor membership via the FACE_WRAP cube
+    topology, never stitching — so the stitch is verified end-to-end."""
+    from ..kernel.covering import CellUnion
+    from ..kernel.vectorize import cellunion_boundary
+
+    docs = events_geo(spark, sf_dir)
+    rows = []
+    for variant, lvl, hot in specs.VECTORIZE_VARIANTS:
+        counts = (
+            docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        if hot:
+            # 2x mean per occupied tile; int sums < 2^53, so the double
+            # division is bit-identical to the oracle's avg()
+            thr = 2.0 * (sum(r["c"] for r in counts) / len(counts))
+            mask = sorted(np.uint64(r["tile"]) for r in counts if r["c"] >= thr)
+        else:
+            mask = sorted(np.uint64(r["tile"]) for r in counts)
+        poly = cellunion_boundary(CellUnion([int(c) for c in mask]), lvl)
+        n_vertices = sum(len(lp.vertices) for lp in poly.loops)
+        area = float(np.sum(_tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
+        rows.append((variant, lvl, len(mask), n_vertices, area))
+    out = spark.createDataFrame(
+        rows, "variant string, level long, n_cells long, n_vertices long, area double"
+    )
+    return out.select(
+        "variant", "level", "n_cells", "n_vertices",
+        F.round("area", 7).alias("area_r"),
+    )
+
+
 @functools.cache
 def _polyline_buffer_setup():
     """Covering cells for caps that enclose each buffered segment.
@@ -2027,6 +2114,7 @@ QUERIES = {
     "s2_cap_antijoin": q_cap_antijoin,
     "s2_cap_tile_rollup": q_cap_tile_rollup,
     "s2_rasterize": q_rasterize,
+    "s2_vectorize": q_s2_vectorize,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_poly_nested_join": q_poly_nested_join,

@@ -220,3 +220,39 @@ LANG_MARKERS = [
 
 PUNCT_CHARS = ".,!?;:"
 VOWELS = "aeiou"
+
+
+# ---------------------------------------------------------------------------
+# Raster -> vector (s2_vectorize): mask variants + cube-face edge topology
+# ---------------------------------------------------------------------------
+
+# (variant, level, hot): "occ" vectorizes the occupied-tile footprint at a
+# coarse level (near-global at sf>=0.01 -- the boundary is the holes);
+# "hot" vectorizes the hotspot mask (tiles holding >= 2x the mean per-tile
+# count), a scattered archipelago.  Both are derived from the SAME distributed
+# groupBy; only the threshold differs.
+VECTORIZE_VARIANTS = (("occ", 4, False), ("hot", 5, True))
+
+# Cube-face edge-adjacency transforms for level-L tiles in (face, ti, tj)
+# coordinates, with n = 2^L.  For a tile whose edge-neighbor step leaves
+# [0, n) on its face, FACE_WRAP[(face, dir)] = (nf, ti', tj') gives the
+# neighbor on the adjacent face; dir is 0=down(tj-1) 1=right(ti+1)
+# 2=up(tj+1) 3=left(ti-1); "T" is the surviving coordinate along the shared
+# edge (ti for dirs 0/2, tj for dirs 1/3), "N1" = n-1, "N1-T" = n-1-T.
+# This is the cube topology that from_face_ij_wrap (kernel/hierarchy.py:312,
+# cellid.rs:115-132) computes geometrically; tests/test_vectorize.py proves
+# the table equal to the kernel for every (face, dir, T) at two levels.
+FACE_WRAP = {
+    (0, 0): (5, "T", "N1"),   (0, 1): (1, "0", "T"),
+    (0, 2): (2, "0", "N1-T"), (0, 3): (4, "N1-T", "N1"),
+    (1, 0): (5, "N1", "N1-T"), (1, 1): (3, "N1-T", "0"),
+    (1, 2): (2, "T", "0"),    (1, 3): (0, "N1", "T"),
+    (2, 0): (1, "T", "N1"),   (2, 1): (3, "0", "T"),
+    (2, 2): (4, "0", "N1-T"), (2, 3): (0, "N1-T", "N1"),
+    (3, 0): (1, "N1", "N1-T"), (3, 1): (5, "N1-T", "0"),
+    (3, 2): (4, "T", "0"),    (3, 3): (2, "N1", "T"),
+    (4, 0): (3, "T", "N1"),   (4, 1): (5, "0", "T"),
+    (4, 2): (0, "0", "N1-T"), (4, 3): (2, "N1-T", "N1"),
+    (5, 0): (3, "N1", "N1-T"), (5, 1): (1, "N1-T", "0"),
+    (5, 2): (0, "T", "0"),    (5, 3): (4, "N1", "T"),
+}

@@ -69,7 +69,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["s2_tile_assign", "s2_cell_hierarchy", "s2_cap_join", "s2_knn", "fingerprint",
-     "span_pipeline", "pricing_summary"],
+     "span_pipeline", "pricing_summary", "s2_vectorize"],
 )
 def test_query_matches_oracle_sf0001(entrymod, duck, spark, name):
     sdf = _canon(entrymod.queries()[name](spark, SF).toPandas())

@@ -16,6 +16,7 @@ CASES = [
     "ann_lsh",
     "dedup_exact",
     "events_cube",
+    "s2_vectorize",
     "s2_cap_join",
 ]
 

@@ -147,3 +147,71 @@ def test_corner_touching_cells_make_two_rings():
             assert lp.find_validation_error() is None
         tested += 1
     assert tested >= 4
+
+
+def test_face_wrap_table_matches_kernel():
+    """specs.FACE_WRAP (the oracle's cube-edge topology) must equal the
+    kernel's geometric from_face_ij_wrap for EVERY (face, dir, t) at two
+    levels — the exhaustive proof that the SQL CASE table and the tested
+    kernel agree."""
+    from rust_s2_spark.engine import specs
+
+    def probe(f, d, t, lvl):
+        n = 1 << lvl
+        size = 1 << (30 - lvl)
+        if d in (0, 2):
+            ti, tj = t, (0 if d == 0 else n - 1)
+            ii, jj = ti * size, tj * size + (-size if d == 0 else size)
+        else:
+            ti, tj = (n - 1 if d == 1 else 0), t
+            ii, jj = ti * size + (size if d == 1 else -size), tj * size
+        leaf = h.from_face_ij_wrap(np.int64(f), np.int64(ii), np.int64(jj))
+        nb = h.parent(np.uint64(leaf), lvl)
+        f2, i2, j2, _ = h.cellid_to_face_ij_orientation(np.uint64(nb))
+        return int(f2), int(i2) >> (30 - lvl), int(j2) >> (30 - lvl)
+
+    for lvl in (4, 6):
+        n = 1 << lvl
+        sym = {"0": lambda t: 0, "N1": lambda t: n - 1,
+               "T": lambda t: t, "N1-T": lambda t: n - 1 - t}
+        for (f, d), (f2, fi, fj) in specs.FACE_WRAP.items():
+            for t in range(n):
+                got = probe(f, d, t, lvl)
+                assert got == (f2, sym[fi](t), sym[fj](t)), (f, d, t, lvl, got)
+
+
+def test_driver_mask_invariants_sf0001():
+    """The s2_vectorize driver masks (occupied@L4 + hotspot@L5 over the
+    sf0.001 events), replayed in pure numpy: stitched vertex count equals
+    the boundary-edge count from kernel edge-neighbor membership, the
+    polygon area equals the mask's cell-area sum, and membership round-trips
+    on probe points."""
+    import duckdb
+
+    from rust_s2_spark.engine import specs
+    from rust_s2_spark.engine.queries import _tile_quad_areas
+
+    ids = duckdb.sql(
+        "SELECT event_id FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchnumpy()["event_id"].astype(np.int64)
+    lat, lng = specs.latlng_np(ids)
+    leaf = hilbert.cellid_from_latlng(lat, lng)
+    rng = np.random.default_rng(11)
+    for variant, lvl, hot in specs.VECTORIZE_VARIANTS:
+        til = h.parent(leaf, lvl)
+        u, c = np.unique(til, return_counts=True)
+        mask = u[c >= 2.0 * (c.sum() / len(c))] if hot else u
+        in_set = {int(x) for x in mask}
+        nbrs = np.asarray(h.edge_neighbors(mask), dtype=np.uint64)
+        n_bd = int(sum(int(x) not in in_set for x in nbrs.ravel()))
+        poly = cellunion_boundary(CellUnion([int(x) for x in mask]), lvl)
+        assert sum(len(lp.vertices) for lp in poly.loops) == n_bd
+        cell_sum = float(np.sum(_tile_quad_areas(mask, lvl)))
+        assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
+        # membership roundtrip on random probe points
+        la = rng.uniform(-80, 80, 300)
+        ln = rng.uniform(-179, 179, 300)
+        probes = h.parent(hilbert.cellid_from_latlng(la, ln), lvl)
+        for k in range(300):
+            p = _latlng_point(math.radians(la[k]), math.radians(ln[k]))
+            assert poly.contains_point(p) == (int(probes[k]) in in_set)
