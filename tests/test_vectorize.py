@@ -215,3 +215,34 @@ def test_driver_mask_invariants_sf0001():
         for k in range(300):
             p = _latlng_point(math.radians(la[k]), math.radians(ln[k]))
             assert poly.contains_point(p) == (int(probes[k]) in in_set)
+
+
+def test_batched_corners_bit_identical_to_cell_vertex():
+    """The batched corner computation inside cellunion_boundary must stay
+    bit-identical to the scalar Cell.vertex path (corner keys feed the
+    stitch's vertex matching)."""
+    from rust_s2_spark.kernel import stuv
+    from rust_s2_spark.kernel.region import Cell
+
+    rng = np.random.default_rng(7)
+    for lvl in (3, 7):
+        la = rng.uniform(-85, 85, 80)
+        ln = rng.uniform(-180, 180, 80)
+        ids_arr = h.parent(hilbert.cellid_from_latlng(la, ln), lvl)
+        f, i, j, _ = hilbert.cellid_to_face_ij_orientation(ids_arr)
+        cs = np.int64(h.size_ij(lvl))
+        x_lo = i.astype(np.int64) & -cs
+        y_lo = j.astype(np.int64) & -cs
+        u_lo = stuv.st_to_uv(stuv.ij_to_stmin(x_lo))
+        u_hi = stuv.st_to_uv(stuv.ij_to_stmin(x_lo + cs))
+        v_lo = stuv.st_to_uv(stuv.ij_to_stmin(y_lo))
+        v_hi = stuv.st_to_uv(stuv.ij_to_stmin(y_lo + cs))
+        fi = f.astype(np.int64)
+        for k, (cu_, cv_) in enumerate(
+            ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi))
+        ):
+            x, y, z = stuv.face_uv_to_xyz(fi, cu_, cv_)
+            nn = np.sqrt(x * x + y * y + z * z)
+            vec = np.stack([x / nn, y / nn, z / nn], axis=-1)
+            for t in range(len(ids_arr)):
+                assert np.array_equal(Cell(int(ids_arr[t])).vertex(k), vec[t])
