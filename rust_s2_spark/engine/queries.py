@@ -2026,9 +2026,11 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 2x mean per occupied tile; int sums < 2^53, so the double
             # division is bit-identical to the oracle's avg()
             thr = 2.0 * (sum(r["c"] for r in counts) / len(counts))
-            mask = sorted(np.uint64(r["tile"]) for r in counts if r["c"] >= thr)
+            picked = (r["tile"] for r in counts if r["c"] >= thr)
         else:
-            mask = sorted(np.uint64(r["tile"]) for r in counts)
+            picked = (r["tile"] for r in counts)
+        # signed bigint -> unsigned cellid (faces 4/5 come back negative)
+        mask = sorted(t & 0xFFFFFFFFFFFFFFFF for t in picked)
         poly = cellunion_boundary(CellUnion([int(c) for c in mask]), lvl)
         n_vertices = sum(len(lp.vertices) for lp in poly.loops)
         area = float(np.sum(_tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
