@@ -123,6 +123,10 @@ def clear_geo_cache() -> None:
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
+    # the clustered materialization is a COPY of the dataset's rows: after a
+    # clear it must be rebuilt from the (possibly rewritten) source, not
+    # served stale
+    _CLUSTERED_PATHS.clear()
 
 
 # Query-scoped persisted intermediates (e.g. embed_dedup's homes table)
@@ -283,9 +287,16 @@ def _clustered_events_path(spark: SparkSession, sf_dir: str) -> str:
     if path is None:
         from .layout import write_clustered
 
+        import hashlib
+
         base = os.environ.get("SPARK_GRAFT_TMP", "/tmp/spark_graft")
-        sf_name = os.path.basename(os.path.normpath(sf_dir))
-        path = f"{base}/{key[0]}/clustered/{sf_name}/events_geo"
+        # key the on-disk path by the FULL dataset dir (hash + basename for
+        # readability): two datasets sharing a basename must not alias to —
+        # and overwrite — one clustered copy
+        norm = os.path.normpath(sf_dir)
+        sf_name = os.path.basename(norm)
+        tag = hashlib.sha1(norm.encode()).hexdigest()[:10]
+        path = f"{base}/{key[0]}/clustered/{sf_name}-{tag}/events_geo"
         # 2k-row groups (schema is 4 fixed-width cols ≈ 32 B/row) so the
         # bench tables get enough groups for the covering ranges to skip
         # most of them.  At 10^12 rows the default 128 MB groups give the
@@ -1741,6 +1752,10 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float, k: int | None = N
         emb.where(F.col("vec_id") < K).orderBy("vec_id").select("embedding").collect()
     )
     cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    # a corpus smaller than the K floor yields fewer centroids than
+    # requested; every downstream shape (radii, cd, adm) follows the
+    # EFFECTIVE count
+    K = cents.shape[0]
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
     bc = spark.sparkContext.broadcast(cents)
     # slack covers float rounding in assignment/radius math (exact-math bound
@@ -2015,23 +2030,32 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..kernel.vectorize import cellunion_boundary
 
     docs = events_geo(spark, sf_dir)
+    (occ_name, occ_lvl, _), (hot_name, hot_lvl, _) = specs.VECTORIZE_VARIANTS
+    assert occ_lvl <= hot_lvl
+    # ONE distributed rollup at the finer level feeds both variants: the
+    # occupied set at the coarse level is exactly the parent set of the
+    # occupied fine tiles (a level-L tile holds a point iff some level-L'
+    # descendant does)
+    counts = (
+        docs.groupBy(tiling.parent_col("cell_id", hot_lvl).alias("tile"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    # signed bigint -> unsigned cellid (faces 4/5 come back negative)
+    fine = np.array(
+        [r["tile"] & 0xFFFFFFFFFFFFFFFF for r in counts], dtype=np.uint64
+    )
+    cvals = np.array([r["c"] for r in counts], dtype=np.int64)
+    # 2x mean per occupied fine tile; int sums < 2^53, so the double
+    # division is bit-identical to the oracle's avg()
+    thr = 2.0 * (int(cvals.sum()) / len(cvals))
+    masks = [
+        (occ_name, occ_lvl, sorted(int(t) for t in np.unique(h.parent(fine, occ_lvl)))),
+        (hot_name, hot_lvl, sorted(int(t) for t in fine[cvals >= thr])),
+    ]
     rows = []
-    for variant, lvl, hot in specs.VECTORIZE_VARIANTS:
-        counts = (
-            docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile"))
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
-        if hot:
-            # 2x mean per occupied tile; int sums < 2^53, so the double
-            # division is bit-identical to the oracle's avg()
-            thr = 2.0 * (sum(r["c"] for r in counts) / len(counts))
-            picked = (r["tile"] for r in counts if r["c"] >= thr)
-        else:
-            picked = (r["tile"] for r in counts)
-        # signed bigint -> unsigned cellid (faces 4/5 come back negative)
-        mask = sorted(t & 0xFFFFFFFFFFFFFFFF for t in picked)
-        poly = cellunion_boundary(CellUnion([int(c) for c in mask]), lvl)
+    for variant, lvl, mask in masks:
+        poly = cellunion_boundary(CellUnion(mask), lvl)
         n_vertices = sum(len(lp.vertices) for lp in poly.loops)
         area = float(np.sum(_tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
         rows.append((variant, lvl, len(mask), n_vertices, area))

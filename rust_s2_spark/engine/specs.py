@@ -229,8 +229,9 @@ VOWELS = "aeiou"
 # (variant, level, hot): "occ" vectorizes the occupied-tile footprint at a
 # coarse level (near-global at sf>=0.01 -- the boundary is the holes);
 # "hot" vectorizes the hotspot mask (tiles holding >= 2x the mean per-tile
-# count), a scattered archipelago.  Both are derived from the SAME distributed
-# groupBy; only the threshold differs.
+# count), a scattered archipelago.  Both derive from ONE distributed rollup
+# at the finer level: occ = the parent set of the occupied fine tiles,
+# hot = the fine tiles over the threshold.
 VECTORIZE_VARIANTS = (("occ", 4, False), ("hot", 5, True))
 
 # Cube-face edge-adjacency transforms for level-L tiles in (face, ti, tj)
