@@ -215,3 +215,38 @@ def test_cap_join_matches_brute_force_on_random_clouds(spark):
     assert got == want
     # non-vacuous: each cap caught at least its own samples
     assert all(any(rid == f"cap{k}" for rid, _ in want) for k in range(len(caps)))
+
+
+# -- raster<->vector property suite ------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=seed_st, lvl=st.integers(min_value=2, max_value=6))
+def test_vectorize_invariants_on_random_unions(seed, lvl):
+    """cellunion_boundary on a random level-``lvl`` cell set: stitched vertex
+    count equals the boundary-edge count from edge-neighbor membership, the
+    polygon's area equals the exact cell-area sum, and membership round-trips
+    on random probe points (incl. cross-face and corner-touching sets the
+    fixed fixtures never produce)."""
+    from rust_s2_spark.kernel.vectorize import cellunion_boundary
+
+    rng = np.random.default_rng(seed)
+    n_pts = int(rng.integers(3, 60))
+    pts = np.stack([rand_point(rng) for _ in range(n_pts)])
+    la = np.degrees(np.arctan2(pts[:, 2], np.hypot(pts[:, 0], pts[:, 1])))
+    ln = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+    mask = np.unique(h.parent(hilbert.cellid_from_latlng(la, ln), lvl))
+    in_set = {int(x) for x in mask}
+    poly = cellunion_boundary(CellUnion([int(x) for x in mask]), lvl)
+    nbrs = np.asarray(h.edge_neighbors(mask), dtype=np.uint64)
+    n_bd = int(sum(int(x) not in in_set for x in nbrs.ravel()))
+    assert sum(len(lp.vertices) for lp in poly.loops) == n_bd
+    cell_sum = sum(Cell(int(c)).exact_area() for c in mask)
+    assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
+    # membership roundtrip on fresh random probes (off cell boundaries wpo 1)
+    for _ in range(40):
+        p = rand_point(rng)
+        pla = math.degrees(math.atan2(p[2], math.hypot(p[0], p[1])))
+        pln = math.degrees(math.atan2(p[1], p[0]))
+        tile = int(h.parent(hilbert.cellid_from_latlng(pla, pln), lvl))
+        assert poly.contains_point(p) == (tile in in_set)
