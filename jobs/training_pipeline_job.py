@@ -14,6 +14,8 @@ a crash resumes from the last committed stage):
   curated        quality/language filter joined against the dedup survivors
   geo_cells      geo span extraction -> leaf cellid -> level-8 tile
   tile_stats     curated docs per tile (the training-mix geo balance view)
+  footprint      occupied-tile mask vectorized into boundary rings
+                 (raster -> vector: the corpus's geo coverage as geometry)
   ann_buckets    IVF bucket assignment for every embedding (the ANN index
                  build input; bucketed for the similarity scale path)
 
@@ -136,7 +138,35 @@ def main(argv=None):
 
     record(ck.materialize("tile_stats", tile_stats_fn, inputs=["geo_cells"], stage_version=ver))
 
-    # 6. IVF bucket assignment for the embeddings (ANN index build input)
+    # 6. geographic footprint: vectorize the occupied-tile mask into its
+    # boundary rings (raster -> vector) — the curated corpus's geographic
+    # coverage as GEOMETRY (shells + holes), not a tile list.  tile_stats is
+    # grid-bounded (<= 6*4^L rows at any corpus size), so the driver-side
+    # stitch is O(perimeter); the ring table is the lakehouse artifact a
+    # downstream sampler or dashboard consumes.
+    def footprint_fn():
+        from rust_s2_spark.engine.queries import _tile_quad_areas
+        from rust_s2_spark.kernel.covering import CellUnion
+        from rust_s2_spark.kernel.vectorize import cellunion_boundary
+
+        tiles = sorted(
+            r["tile"] & 0xFFFFFFFFFFFFFFFF
+            for r in ck.read("tile_stats").select("tile").collect()
+        )
+        poly = cellunion_boundary(CellUnion(tiles), args.tile_level)
+        areas = _tile_quad_areas(np.asarray(tiles, dtype=np.uint64), args.tile_level)
+        mask_area = float(np.sum(areas)) if tiles else 0.0
+        rows = [
+            (k, int(lp.depth), len(lp.vertices), mask_area)
+            for k, lp in enumerate(poly.loops)
+        ]
+        return spark.createDataFrame(
+            rows, "ring_id int, depth int, n_vertices int, mask_area double"
+        )
+
+    record(ck.materialize("footprint", footprint_fn, inputs=["tile_stats"], stage_version=ver))
+
+    # 7. IVF bucket assignment for the embeddings (ANN index build input)
     def ann_buckets_fn():
         from pyspark.sql.functions import pandas_udf
 

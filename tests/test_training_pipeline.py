@@ -36,6 +36,15 @@ def test_pipeline_runs_and_resumes(spark, ckroot):
     assert 0 < st["curated"]["rows"] <= st["dedup"]["rows"]
     assert st["geo_cells"]["rows"] == st["curated"]["rows"]
     assert 0 < st["tile_stats"]["rows"] <= st["geo_cells"]["rows"]
+    # footprint: every occupied tile is isolated or merged into rings; ring
+    # vertex counts are positive multiples of 4 minus shared corners — just
+    # assert the stage produced geometry consistent with the mask
+    assert st["footprint"]["rows"] >= 1
+    fp = spark.read.parquet(f"{ckroot}/footprint")
+    import numpy as np
+
+    nv = np.array([r["n_vertices"] for r in fp.collect()])
+    assert (nv >= 4).all()
     assert st["ann_buckets"]["rows"] == 500
     # a third run reuses everything (fully resumable, idempotent)
     report3 = job.main(args)
