@@ -94,45 +94,65 @@ def _progress_rows(query) -> int:
 
 
 def bench_streaming(spark) -> dict:
-    """Structured Streaming micro-bench: wall-clock drain of one large
+    """Structured Streaming micro-bench: wall-clock drain of a 200k-row
     availableNow micro-batch through the two stateful pipelines (windowed
-    tile counts; applyInPandasWithState purchase attribution).  Rows/sec
-    includes stream startup — a regression canary, not a peak number."""
+    tile counts; applyInPandasWithState purchase attribution).  One UNTIMED
+    warmup drain per pipeline (stream startup + state-store init swung the
+    single-drain numbers ~3x run-to-run), then the MEDIAN of 3 timed drains
+    — a regression canary, not a peak number."""
     from rust_s2_spark.engine import streaming as S
 
-    out = {}
-
-    t0 = time.time()
-    q = S.run_stream_to_memory(
-        spark, rows_per_batch=200_000, tile_level=6, query_name="bench_stream_tiles"
-    )
-    dt = time.time() - t0
-    rows = _progress_rows(q)
-    out["stream_tile_counts"] = {
-        "rows": rows, "sec": round(dt, 3), "rows_per_sec": round(rows / dt, 1)
-    }
-
-    t1 = time.time()
-    attr = S.stream_attribution(spark, rows_per_batch=200_000)
-    q2 = (
-        attr.writeStream.format("memory")
-        .queryName("bench_stream_attr")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination(300)
-    dt2 = time.time() - t1
-    rows2 = _progress_rows(q2)
-    out["stream_attribution"] = {
-        "rows": rows2, "sec": round(dt2, 3), "rows_per_sec": round(rows2 / dt2, 1)
-    }
-    for view in ("bench_stream_tiles", "bench_stream_attr"):
+    def _drop(view):
         try:
             spark.catalog.dropTempView(view)
         except Exception:
             pass
-    return out
+
+    def drain_tiles(tag):
+        name = f"bench_stream_tiles_{tag}"
+        t0 = time.time()
+        q = S.run_stream_to_memory(
+            spark, rows_per_batch=200_000, tile_level=6, query_name=name
+        )
+        dt = time.time() - t0
+        rows = _progress_rows(q)
+        _drop(name)
+        return rows, dt
+
+    def drain_attr(tag):
+        name = f"bench_stream_attr_{tag}"
+        t0 = time.time()
+        attr = S.stream_attribution(spark, rows_per_batch=200_000)
+        q = (
+            attr.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dt = time.time() - t0
+        rows = _progress_rows(q)
+        _drop(name)
+        return rows, dt
+
+    def median_of(drain, reps: int = 3):
+        drain("warmup")
+        runs = [drain(i) for i in range(reps)]
+        med = statistics.median(dt for _, dt in runs)
+        rows = runs[0][0]
+        return {
+            "rows": rows,
+            "sec": round(med, 3),
+            "rows_per_sec": round(rows / med, 1),
+            "all_secs": [round(dt, 3) for _, dt in runs],
+            "protocol": "median of 3 drains after 1 untimed warmup drain",
+        }
+
+    return {
+        "stream_tile_counts": median_of(drain_tiles),
+        "stream_attribution": median_of(drain_attr),
+    }
 
 
 def main():
