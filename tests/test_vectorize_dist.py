@@ -118,3 +118,21 @@ def test_large_covering_scale_path(spark):
     assert len(mask) > 3000
     got = _dist_rings(spark, mask, 8)
     assert got == _kernel_rings(mask, 8)
+
+
+def test_parallelism_invariance(spark):
+    """Identical ring rows at shuffle.partitions 3 vs 32 — no partition-order
+    dependence in the per-face stitch or the driver linking."""
+    mask = _mask_from_points(7, 120, 4)
+    df = spark.createDataFrame(
+        [(int(np.int64(np.uint64(x))),) for x in mask], "tile long"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, boundary_rings(spark, df.repartition(3), 4).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(tuple, boundary_rings(spark, df.repartition(17), 4).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
