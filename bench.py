@@ -42,13 +42,19 @@ HEADLINE = [
     "s2_rasterize",
     "s2_vectorize",
     "s2_knn",
+    "s2_knn_cellring",
     "s2_segment_distance",
+    "s2_region_area_stats",
+    "s2_covering_set_ops",
     "dedup_exact",
     "ngram_jaccard",
     "simhash",
     "simhash_dedup",
     "simhash_banded",
+    "minhash_lsh",
+    "lang_id",
     "ann_cosine",
+    "ann_ivf",
     "ann_lsh",
     "embed_dedup",
     "span_pipeline",

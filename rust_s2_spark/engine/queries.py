@@ -1105,10 +1105,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(filter(split(gram, ''), c -> c <> ''), CAST(0 AS BIGINT), {_TOKEN_HASH})"
         )
         g = g.withColumn("gh", gh)
+        # one parsed fragment per permutation (not a 6-op py4j Column chain
+        # each — the s2_cap_join_clustered lesson: plan-BUILD time at 128
+        # perms was ~4.5 s of py4j round trips, ~6x more calls than parses)
         mins = [
-            F.min(
-                (F.col("gh") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1)) % F.lit(specs.FP_MOD)
-            ).alias(f"m{i}")
+            F.expr(f"min((gh * {2 * i + 1} + {i * 7919 + 1}) % {specs.FP_MOD})").alias(f"m{i}")
             for i in range(n_perm)
         ]
         return g.groupBy("doc_id").agg(*mins)
@@ -1117,14 +1118,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the estimate join (at 100 TB this is the checkpoint
     # table); keyed cache so repeated invocations reuse, never accumulate
     sig = _aux_persisted(spark, sf_dir, "minhash_sig", _build_sig)
-    band_structs = []
-    for bnd in range(bands):
-        parts = [F.col(f"m{bnd * rows_per + r}").cast("string") for r in range(rows_per)]
-        band_structs.append(
-            F.struct(F.lit(bnd).alias("band_idx"), F.md5(F.concat_ws("_", *parts)).alias("bk"))
+    band_structs = ", ".join(
+        "struct({b} AS band_idx, md5(concat_ws('_', {cols})) AS bk)".format(
+            b=bnd,
+            cols=", ".join(
+                f"CAST(m{bnd * rows_per + r} AS STRING)" for r in range(rows_per)
+            ),
         )
+        for bnd in range(bands)
+    )
     # one self-join on (band_idx, band_key) — not one join per band
-    bands_df = sig.select("doc_id", F.explode(F.array(band_structs)).alias("b")).select(
+    bands_df = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.bk").alias("bk")
     )
     # skew cap: a band bucket holding > LSH_BUCKET_CAP docs is a
@@ -1146,19 +1152,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perm)])
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perm)])
-    est = None
-    for i in range(n_perm):
-        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        est = t if est is None else est + t
+    siga = sig.toDF("doc_a", *[f"a{i}" for i in range(n_perm)])
+    sigb = sig.toDF("doc_b", *[f"b{i}" for i in range(n_perm)])
+    est_sql = " + ".join(
+        f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(n_perm)
+    )
     # plain shuffle joins: the signature table is O(n_docs) x 128 cols and
     # must never be broadcast at scale; the candidate-pair side is the small
     # one post-LSH, so AQE is free to broadcast *it* instead.
     out = (
         cand.join(siga, "doc_a")
         .join(sigb, "doc_b")
-        .withColumn("est_sim", (est.cast("double") / n_perm))
+        .withColumn("est_sim", F.expr(f"CAST({est_sql} AS DOUBLE) / {n_perm}"))
     )
     return out.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
 
