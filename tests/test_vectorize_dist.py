@@ -136,3 +136,21 @@ def test_parallelism_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
+
+
+def test_degenerate_masks(spark):
+    """Full sphere (no boundary at all), a single whole face (level-0 cell:
+    every vertex is a cube corner, the ring is pure cross-face chains), and
+    a single interior cell."""
+    # full sphere: all six faces at level 0 -> no boundary edges, no rings
+    faces = [int(np.int64(h.from_face(f))) for f in range(6)]
+    df = spark.createDataFrame([(t,) for t in faces], "tile long")
+    assert boundary_rings(spark, df, 0).count() == 0
+
+    # one whole face: one 4-vertex ring, assembled entirely from chains
+    one = np.array([np.uint64(np.int64(faces[2]))], dtype=np.uint64)
+    assert _dist_rings(spark, one, 0) == _kernel_rings(one, 0)
+
+    # a single interior cell at level 6
+    cell = h.parent(hilbert.cellid_from_latlng(np.array([17.0]), np.array([33.0])), 6)
+    assert _dist_rings(spark, cell, 6) == _kernel_rings(cell, 6)
