@@ -212,11 +212,15 @@ def main():
         "sf": sf_dir,
         "tile_docs_per_sec": round(n_events / warm["s2_tile_assign"], 1),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "suite_size": len(warm),
         "protocol": (
             f"1 cold pass + {warm_passes} interleaved warm passes over the full "
-            "suite; value = sum of per-query warm MEDIANS.  v2 is not "
-            "comparable to r1/r2 headline (cold totals) or r3 (best-of-2 "
-            "back-to-back warm); compare cold_total_sec for a cross-round basis."
+            "suite; value = sum of per-query warm MEDIANS over THIS json's "
+            "queries dict — totals are only comparable across runs with "
+            "identical suites (see suite_size); per-query medians are always "
+            "comparable.  v2 is not comparable to r1/r2 headline (cold "
+            "totals) or r3 (best-of-2 back-to-back warm); compare "
+            "cold_total_sec for a cross-round basis."
         ),
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
