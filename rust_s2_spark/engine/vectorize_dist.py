@@ -7,22 +7,28 @@ perimeter-proportional step distributed:
 
   1. boundary-edge extraction: batched edge-neighbor expansion + one
      LEFT ANTI join against the mask (no geometry yet — pure cellid math);
-  2. edge geometry: corners via the same batched kernel math as
-     cellunion_boundary (bit-identical corner keys);
-  3. per-face stitch: groupBy(face).applyInPandas — each face's edges
-     stitch into (a) rings fully interior to the face and (b) open CHAINS
-     cut at face-border nodes.  Border nodes are cut points because the
-     most-sharply-left continuation rule needs ALL edges at a node, and a
-     border node's edges can live on two faces;
+  2. edge geometry: corners via the kernel's shared batched_cell_corners
+     (bit-identical corner keys by construction);
+  3. per-face stitch: groupBy(face).applyInPandas — the kernel's canonical
+     per-node matching (match_ins_to_outs) applied at every node strictly
+     INSIDE the face, yielding (a) rings whose cycle never touches a
+     face border and (b) open CHAINS cut at face-border nodes.  Border
+     nodes are cut points because the matching needs ALL edges at a node,
+     and a border node's edges can live on two faces;
   4. driver linking: only the chain ENDPOINT summaries come to the driver
-     (O(chains), not O(perimeter)); chains are paired at border nodes with
-     the same most-sharply-left rule and linked into cross-face rings;
+     (O(chains), not O(perimeter)); the SAME canonical matching pairs
+     chains at border nodes and links the cycles;
   5. ring assembly: a broadcast (chain_id -> ring_id, seq offset) map turns
      the distributed chain-vertex rows into final ring rows — ring vertices
      never pass through the driver.
 
-Output rings are interior-left oriented (shells CCW, holes CW), identical
-to the driver stitch — proven ring-for-ring in tests/test_vectorize_dist.py.
+Because both stitchers decide every node with the identical order-free
+rule, the output is ring-for-ring identical to cellunion_boundary
+(orientation included: interior-left, shells CCW / holes CW) — proven on
+dense random masks in tests/test_vectorize_dist.py.  Vertex rotation is
+deterministic but differs from the serial stitch for cross-face rings:
+interior rings start at their smallest corner key; chain-assembled rings
+start at their smallest border-node key.
 """
 
 from __future__ import annotations
@@ -33,8 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel import hierarchy as h
-from ..kernel import hilbert, stuv
-from ..kernel.vectorize import _corner_key, _turn_ccw  # noqa: F401 (key parity)
+from ..kernel.vectorize import (
+    batched_cell_corners,
+    match_ins_to_outs,
+    split_at_repeats,
+)
 
 _GEOM_SCHEMA = (
     "face int, skey string, ekey string, s_border boolean, e_border boolean, "
@@ -55,37 +64,16 @@ def _key_str(p: np.ndarray) -> str:
     return "|".join(repr(v) for v in np.round(p, 14) + 0.0)
 
 
-def _key_floats(key: str) -> np.ndarray:
-    return np.array([float(v) for v in key.split("|")])
-
-
-def _tile_corners(tiles: np.ndarray, level: int):
-    """Batched Cell.vertex replication (the cellunion_boundary math):
-    face, (n, 4, 3) unit corners CCW from the uv-lo corner, and per-corner
-    face-border flags (|u| == 1 or |v| == 1 — exact at the grid extremes,
-    st_to_uv(0) = -1 and st_to_uv(1) = 1 are closed-form)."""
-    ids_arr = tiles.astype(np.uint64)
-    f, i, j, _ = hilbert.cellid_to_face_ij_orientation(ids_arr)
-    cs = np.int64(h.size_ij(level))
-    x_lo = i.astype(np.int64) & -cs
-    y_lo = j.astype(np.int64) & -cs
-    u_lo = stuv.st_to_uv(stuv.ij_to_stmin(x_lo))
-    u_hi = stuv.st_to_uv(stuv.ij_to_stmin(x_lo + cs))
-    v_lo = stuv.st_to_uv(stuv.ij_to_stmin(y_lo))
-    v_hi = stuv.st_to_uv(stuv.ij_to_stmin(y_lo + cs))
-    fi = f.astype(np.int64)
-    corners, borders = [], []
-    for cu_, cv_ in ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi)):
-        x, y, z = stuv.face_uv_to_xyz(fi, cu_, cv_)
-        nn = np.sqrt(x * x + y * y + z * z)
-        corners.append(np.stack([x / nn, y / nn, z / nn], axis=-1))
-        borders.append((np.abs(cu_) == 1.0) | (np.abs(cv_) == 1.0))
-    return fi, np.stack(corners, axis=1), np.stack(borders, axis=1)
+def _key_floats(key: str) -> tuple:
+    return tuple(float(v) for v in key.split("|"))
 
 
 def _boundary_edges(tiles_df: DataFrame) -> DataFrame:
     """(tile, k) rows for every cell edge whose neighbor is outside the
-    mask.  Distributed: batched neighbor expansion, one LEFT ANTI join."""
+    mask.  Distributed: batched neighbor expansion, one LEFT ANTI join.
+    The input is deduped first — a duplicated tile would emit its boundary
+    edges twice and wreck the downstream perfect matching."""
+    tiles_df = tiles_df.select("tile").distinct()
 
     def expand(batches):
         for pdf in batches:
@@ -104,16 +92,14 @@ def _boundary_edges(tiles_df: DataFrame) -> DataFrame:
                 }
             )
 
-    cand = tiles_df.select("tile").mapInPandas(
-        expand, schema="tile long, k int, nbr long"
-    )
+    cand = tiles_df.mapInPandas(expand, schema="tile long, k int, nbr long")
     inside = tiles_df.select(F.col("tile").alias("nbr"))
     return cand.join(inside, on="nbr", how="left_anti").select("tile", "k")
 
 
 def _edge_geometry(bd_df: DataFrame, level: int) -> DataFrame:
     """Boundary (tile, k) -> directed edge geometry + corner keys + border
-    flags, batched with the exact cellunion_boundary corner math."""
+    flags, batched with the kernel's shared corner math."""
 
     def geom(batches):
         for pdf in batches:
@@ -121,7 +107,7 @@ def _edge_geometry(bd_df: DataFrame, level: int) -> DataFrame:
                 continue
             t = pdf["tile"].to_numpy(dtype=np.int64)
             k = pdf["k"].to_numpy(dtype=np.int64)
-            fi, corners, borders = _tile_corners(t, level)
+            fi, corners, borders = batched_cell_corners(t.view(np.uint64), level)
             rows = np.arange(len(t))
             a = corners[rows, k]
             b = corners[rows, (k + 1) & 3]
@@ -142,12 +128,14 @@ def _edge_geometry(bd_df: DataFrame, level: int) -> DataFrame:
 
 def _emit_ring(out_rows: list, verts: list, keys: list) -> None:
     """Normalize a closed ring (first vertex NOT repeated) to start at its
-    smallest corner key and emit vertex rows."""
+    smallest corner key and emit vertex rows.  The min key alone can
+    collide (two rings touching at a corner node can both have it as their
+    min), so the id also carries the unique outgoing vertex."""
     rot = min(range(len(keys)), key=lambda i: keys[i])
     n = len(verts)
-    # the min key alone can collide: two rings touching at a corner node can
-    # both have it as their min — the outgoing edge (min -> next) is unique
-    rid = "R:" + keys[rot] + ">" + keys[(rot + 1) % n]
+    rid = "R:" + _key_str(np.array(verts[rot])) + ">" + _key_str(
+        np.array(verts[(rot + 1) % n])
+    )
     for s in range(n):
         p = verts[(rot + s) % n]
         out_rows.append(
@@ -156,10 +144,12 @@ def _emit_ring(out_rows: list, verts: list, keys: list) -> None:
         )
 
 
-def _emit_chain(out_rows: list, verts: list, skey: str, ekey: str) -> None:
+def _emit_chain(out_rows: list, verts: list, skey: str, ekey: str) -> str:
     """Chain vertex rows (both endpoints INCLUSIVE) + one endpoint-summary
-    row carrying the anchors the driver's turn-rule pairing needs."""
-    cid = f"C:{skey}>{ekey}:{len(verts)}"
+    row carrying the anchors the driver's matching needs.  The id is the
+    chain's first directed edge (start node -> second vertex) — globally
+    unique: a directed edge belongs to exactly one chain."""
+    cid = f"C:{skey}>{_key_str(np.array(verts[1]))}"
     for s, p in enumerate(verts):
         out_rows.append(
             ("chain", cid, s, float(p[0]), float(p[1]), float(p[2]),
@@ -171,85 +161,111 @@ def _emit_chain(out_rows: list, verts: list, skey: str, ekey: str) -> None:
          float(pen[0]), float(pen[1]), float(pen[2]),
          float(sec[0]), float(sec[1]), float(sec[2]))
     )
+    return cid
 
 
 def _stitch_face(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stitch ONE face's boundary edges: rings fully interior to the face,
-    plus open chains cut at face-border nodes.  Deterministic regardless of
-    input row order (edges are processed in sorted-key order)."""
+    """Stitch ONE face's boundary edges with the kernel's canonical
+    per-node matching, applied at every node strictly inside the face.
+    Border-node edges stay unmatched here: they become chain endpoints and
+    the driver matches them with the same rule.  Deterministic regardless
+    of input row order (the matching is order-free; iteration orders are
+    sorted)."""
     pdf = pdf.sort_values(["skey", "ekey"], kind="mergesort").reset_index(drop=True)
     pts_a = pdf[["ax", "ay", "az"]].to_numpy()
     pts_b = pdf[["bx", "by", "bz"]].to_numpy()
-    skeys = pdf["skey"].tolist()
-    ekeys = pdf["ekey"].tolist()
+    skeys = [_key_floats(s) for s in pdf["skey"]]
+    ekeys = [_key_floats(s) for s in pdf["ekey"]]
+    skey_strs = pdf["skey"].tolist()
+    ekey_strs = pdf["ekey"].tolist()
     s_bord = pdf["s_border"].tolist()
     e_bord = pdf["e_border"].tolist()
-    # edge record: (a, b, skey, ekey, start_is_border, end_is_border)
-    edges: dict[str, list] = {}
-    for i in range(len(pdf)):
-        edges.setdefault(skeys[i], []).append(
-            (pts_a[i], pts_b[i], skeys[i], ekeys[i], bool(s_bord[i]), bool(e_bord[i]))
-        )
-    used: set[int] = set()
+    n = len(pdf)
+
+    # canonical matching at interior nodes (all their edges are local)
+    ins_by_node: dict[tuple, list] = {}
+    outs_by_node: dict[tuple, list] = {}
+    for ei in range(n):
+        if not e_bord[ei]:
+            ins_by_node.setdefault(ekeys[ei], []).append((skeys[ei], pts_a[ei], ei))
+        if not s_bord[ei]:
+            outs_by_node.setdefault(skeys[ei], []).append((pts_b[ei], ei))
+    succ = [-1] * n
+    for node_key, ins in ins_by_node.items():
+        outs = outs_by_node.get(node_key, [])
+        if len(outs) != len(ins):
+            raise ValueError("face stitch: in/out mismatch at interior node")
+        node_pt = np.array(node_key)
+        for in_ei, out_ei in match_ins_to_outs(node_pt, ins, outs):
+            succ[in_ei] = out_ei
+
     out_rows: list[tuple] = []
-    limit = len(pdf) + 8
+    visited = [False] * n
 
-    def follow(first, cut_at_border: bool):
-        """Walk forward from ``first``; returns (verts, keys, closed).
-        With cut_at_border, stop (verts include the border node) when the
-        walk reaches a border node; otherwise stop only on closure."""
-        used.add(id(first))
-        verts, keys = [first[0]], [first[2]]
-        prev_pt, cur_pt = first[0], first[1]
-        cur_key, cur_border = first[3], first[5]
-        start_key = first[2]
-        guard = 0
+    # pinch-eligible nodes: interior 4-valent (two boundary passes)
+    pinch_nodes = {k for k, ins in ins_by_node.items() if len(ins) == 2}
+
+    # chains: start from every edge leaving a border node, follow the
+    # matching until an edge ENDING at a border node.  A walk revisiting an
+    # interior PINCH node carries a pocket ring — split it out locally
+    # (split_at_repeats); the reduced remainder is the chain.  A pinch whose
+    # two passes land in DIFFERENT chains cannot be split here: it is
+    # annotated ('pinch' rows) and the driver splits the assembled ring.
+    chain_hits: dict[tuple, list] = {}
+    for ei in sorted(range(n), key=lambda i: (skey_strs[i], ekey_strs[i])):
+        if visited[ei] or not s_bord[ei]:
+            continue
+        verts, keys = [], []
+        cur, guard = ei, 0
         while True:
-            if cut_at_border and cur_border:
-                verts.append(cur_pt)
-                keys.append(cur_key)
-                return verts, keys, cur_key == start_key
-            if cur_key == start_key:
-                return verts, keys, True
-            nxts = [e for e in edges.get(cur_key, []) if id(e) not in used]
-            if not nxts:
-                verts.append(cur_pt)
-                keys.append(cur_key)
-                return verts, keys, False
-            if len(nxts) == 1:
-                nxt = nxts[0]
-            else:
-                # corner-touch node strictly inside the face: all its edges
-                # are local, so the serial most-sharply-left rule applies
-                nxt = max(nxts, key=lambda e: _turn_ccw(prev_pt, cur_pt, e[1]))
-            used.add(id(nxt))
-            verts.append(cur_pt)
-            keys.append(cur_key)
-            prev_pt, cur_pt = cur_pt, nxt[1]
-            cur_key, cur_border = nxt[3], nxt[5]
+            visited[cur] = True
+            verts.append(pts_a[cur])
+            keys.append(skeys[cur])
+            if e_bord[cur]:
+                parts = split_at_repeats(verts, keys)
+                for ring_v, ring_k in parts[:-1]:
+                    _emit_ring(out_rows, ring_v, ring_k)
+                chain_v = parts[-1][0] + [pts_b[cur]]
+                cid = _emit_chain(
+                    out_rows, chain_v,
+                    _key_str(np.array(chain_v[0])), ekey_strs[cur],
+                )
+                for pos, kk in enumerate(parts[-1][1]):
+                    if kk in pinch_nodes:
+                        chain_hits.setdefault(kk, []).append((cid, pos))
+                break
+            cur = succ[cur]
             guard += 1
-            if guard > limit:
+            if guard > n:
                 raise ValueError("face stitch: unbounded chain")
-
-    # phase 1 — chains: start from every edge LEAVING a border node
-    for skey in sorted(edges):
-        for e in edges[skey]:
-            if id(e) in used or not e[4]:
-                continue
-            verts, keys, closed = follow(e, cut_at_border=True)
-            if closed:
-                _emit_ring(out_rows, verts[:-1], keys[:-1])
-            else:
-                _emit_chain(out_rows, verts, e[2], keys[-1])
-    # phase 2 — whatever remains is interior-closed rings (no border nodes)
-    for skey in sorted(edges):
-        for e in edges[skey]:
-            if id(e) in used:
-                continue
-            verts, keys, closed = follow(e, cut_at_border=False)
-            if not closed:
-                raise ValueError("face stitch: open interior chain")
-            _emit_ring(out_rows, verts, keys)
+    for kk, hits in sorted(chain_hits.items()):
+        if len(hits) == 2 and hits[0][0] != hits[1][0]:
+            (ca, pa), (cb, pb) = sorted(hits)
+            out_rows.append(
+                ("pinch", ca, pa, None, None, None, None, cb,
+                 float(pb), None, None, None, None, None)
+            )
+    # whatever remains is interior-closed walks (cycles of the matching);
+    # pinch revisits split into node-disjoint rings
+    for ei in sorted(range(n), key=lambda i: (skey_strs[i], ekey_strs[i])):
+        if visited[ei]:
+            continue
+        verts, keys = [], []
+        cur, guard = ei, 0
+        while True:
+            visited[cur] = True
+            verts.append(pts_a[cur])
+            keys.append(skeys[cur])
+            cur = succ[cur]
+            if cur < 0:
+                raise ValueError("face stitch: unmatched edge in interior cycle")
+            guard += 1
+            if cur == ei:
+                break
+            if guard > n:
+                raise ValueError("face stitch: unbounded interior cycle")
+        for ring_v, ring_k in split_at_repeats(verts, keys):
+            _emit_ring(out_rows, ring_v, ring_k)
     return pd.DataFrame(
         out_rows,
         columns=[
@@ -259,73 +275,129 @@ def _stitch_face(key, pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _link_chains(sums) -> tuple[dict, dict]:
-    """Driver half: pair chains at border nodes (the same most-sharply-left
-    rule, now with ALL edges at the node visible) and link the cycles.
-    Touches only endpoint summaries — O(chains), never O(perimeter).
+def _assemble_base_rings(sums) -> list:
+    """Driver half: pair chains at border nodes with the SAME canonical
+    matching the kernel applies (ins sorted by their incoming edge's start
+    key, each taking the most-sharply-left remaining out), link the cycles,
+    and split walks that revisit a border pinch node.  Touches only
+    endpoint summaries — O(chains), never O(perimeter).
 
-    Returns ({chain_id: (ring_id, vertex offset)}, {chain_id: n_vertices})."""
+    Returns rings as segment lists [(chain_id, lo, hi), ...] where each
+    chain contributes vertices [lo, hi) (its final border vertex excluded —
+    the next chain re-emits it)."""
     chains: dict[str, dict] = {}
     for r in sums:
         chains[r["rid"]] = {
             "skey": r["skey"], "ekey": r["ekey"], "n": int(r["seq"]),
-            "end": _key_floats(r["ekey"]),
             "pen": np.array([r["px"], r["py"], r["pz"]]),
             "sec": np.array([r["sx"], r["sy"], r["sz"]]),
         }
-    by_start: dict[str, list] = {}
-    for cid in sorted(chains):
-        by_start.setdefault(chains[cid]["skey"], []).append(cid)
-    nxt: dict[str, str] = {}
-    taken: set[str] = set()
+    # group chain endpoints per border node, then run the kernel matching
+    ins_by_node: dict[tuple, list] = {}
+    outs_by_node: dict[tuple, list] = {}
     for cid in sorted(chains):
         c = chains[cid]
-        cands = [o for o in by_start.get(c["ekey"], []) if o not in taken]
-        if not cands:
-            raise ValueError("chain linking: no continuation at border node")
-        if len(cands) == 1:
-            pick = cands[0]
-        else:
-            pick = max(
-                cands,
-                key=lambda o: _turn_ccw(c["pen"], c["end"], chains[o]["sec"]),
-            )
-        nxt[cid] = pick
-        taken.add(pick)
-    links: dict[str, tuple] = {}
+        # the in-edge's start vertex is the chain's penultimate point
+        ins_by_node.setdefault(_key_floats(c["ekey"]), []).append(
+            (tuple(np.round(c["pen"], 14)), c["pen"], cid)
+        )
+        outs_by_node.setdefault(_key_floats(c["skey"]), []).append((c["sec"], cid))
+    nxt: dict[str, str] = {}
+    for node_key, ins in ins_by_node.items():
+        outs = outs_by_node.get(node_key, [])
+        if len(outs) != len(ins):
+            raise ValueError("chain linking: in/out mismatch at border node")
+        node_pt = np.array(node_key)
+        for in_cid, out_cid in match_ins_to_outs(node_pt, ins, outs):
+            nxt[in_cid] = out_cid
     lens = {cid: c["n"] for cid, c in chains.items()}
     seen: set[str] = set()
+    rings: list[list] = []  # ring = list of (chain_id, lo, hi) segments
     for cid in sorted(chains):
         if cid in seen:
             continue
-        cycle = [cid]
+        walk = [cid]
         seen.add(cid)
         cur = nxt[cid]
         while cur != cid:
-            cycle.append(cur)
+            walk.append(cur)
             seen.add(cur)
             cur = nxt[cur]
-        # rotate the cycle to start at the smallest chain start key
-        rot = min(range(len(cycle)), key=lambda i: chains[cycle[i]]["skey"])
-        cycle = cycle[rot:] + cycle[:rot]
-        # disambiguate like _emit_ring: two cycles can share a start node at
-        # a border corner-touch; the first outgoing vertex is unique
-        head = chains[cycle[0]]
-        rid = "R:" + head["skey"] + ">" + _key_str(head["sec"])
-        off = 0
-        for c in cycle:
-            links[c] = (rid, off)
-            off += lens[c] - 1  # each chain's last vertex is the next one's first
-    return links, lens
+        # a walk revisiting a border PINCH node is split into node-disjoint
+        # rings, exactly like the kernel's cycle extraction
+        for cycle, _keys in split_at_repeats(
+            walk, [_key_floats(chains[c]["skey"]) for c in walk]
+        ):
+            rings.append([(c, 0, lens[c] - 1) for c in cycle])
+    return rings
+
+
+def _ring_split(ring: list, ga: int, gb: int) -> tuple[list, list]:
+    """Split a segment-list ring at global vertex positions ga < gb into
+    [ga, gb) and [gb, ga+L) — segments sliced at the cut points."""
+
+    def slice_range(start: int, length: int) -> list:
+        out, pos, need = [], 0, length
+        # walk the cyclic segment list twice to cover wrap-around
+        segs = ring + ring
+        skipped = start
+        for c, lo, hi in segs:
+            ln = hi - lo
+            if skipped >= ln:
+                skipped -= ln
+                continue
+            take = min(ln - skipped, need)
+            out.append((c, lo + skipped, lo + skipped + take))
+            need -= take
+            skipped = 0
+            if need == 0:
+                break
+        return out
+
+    total = sum(hi - lo for _, lo, hi in ring)
+    return slice_range(ga, gb - ga), slice_range(gb, total + ga - gb)
+
+
+def _apply_pinches(rings: list, pinches: list) -> list:
+    """Split assembled rings at interior pinch nodes whose two passes landed
+    in different chains (annotated by the face tasks).  Only applies when
+    both passes are in the SAME ring — two distinct rings legitimately
+    sharing the node need no action.  Pinches of a non-crossing boundary
+    are properly nested, so order does not affect the final set; processing
+    is sorted for determinism."""
+
+    def locate(chain: str, pos: int):
+        for ri, ring in enumerate(rings):
+            g = 0
+            for c, lo, hi in ring:
+                if c == chain and lo <= pos < hi:
+                    return ri, g + (pos - lo)
+                g += hi - lo
+        return None, None
+
+    for ca, pa, cb, pb in sorted(pinches):
+        ra, ga = locate(ca, pa)
+        rb, gb = locate(cb, pb)
+        if ra is None or rb is None or ra != rb:
+            continue
+        lo_g, hi_g = (ga, gb) if ga < gb else (gb, ga)
+        r1, r2 = _ring_split(rings[ra], lo_g, hi_g)
+        rings[ra] = r1
+        rings.append(r2)
+    return rings
 
 
 def boundary_rings(spark: SparkSession, tiles_df: DataFrame, level: int) -> DataFrame:
     """Distributed boundary rings of a uniform level-``level`` tile mask.
 
     ``tiles_df`` needs a ``tile`` column (signed cellid bigints, all at
-    ``level``).  Returns (ring_id string, seq long, x, y, z): interior-left
-    oriented rings (shells CCW, holes CW), each starting at its smallest
-    corner key — ring-for-ring identical to kernel cellunion_boundary."""
+    ``level``; duplicates are dropped).  Returns (ring_id string, seq long,
+    x, y, z): interior-left oriented rings (shells CCW, holes CW),
+    ring-for-ring identical to kernel cellunion_boundary (pinched masks
+    included).  Vertex rotation is deterministic: interior rings start at
+    their smallest corner key; chain-assembled rings at a deterministic
+    chain cut (ring ids are unique, stable identifiers, not geometric
+    keys)."""
     geom = _edge_geometry(_boundary_edges(tiles_df), level)
     stitched = geom.groupBy("face").applyInPandas(
         _stitch_face, schema=_STITCH_SCHEMA
@@ -336,19 +408,35 @@ def boundary_rings(spark: SparkSession, tiles_df: DataFrame, level: int) -> Data
         )
         sums = stitched.where(F.col("kind") == "chain_sum").collect()
         if sums:
-            links, lens = _link_chains(sums)
+            pinch_rows = stitched.where(F.col("kind") == "pinch").collect()
+            pinches = [
+                (r["rid"], int(r["seq"]), r["ekey"], int(r["px"]))
+                for r in pinch_rows
+            ]
+            seg_rings = _apply_pinches(_assemble_base_rings(sums), pinches)
+            lmap_rows = []
+            for ring in seg_rings:
+                # canonical rotation: start at the smallest (chain, lo) cut
+                rot = min(range(len(ring)), key=lambda i: (ring[i][0], ring[i][1]))
+                ring = ring[rot:] + ring[:rot]
+                ring_id = f"R:{ring[0][0]}@{ring[0][1]}"
+                off = 0
+                for c, lo, hi in ring:
+                    lmap_rows.append((c, ring_id, off, lo, hi))
+                    off += hi - lo
             lmap = spark.createDataFrame(
-                [(cid, rid, off, lens[cid]) for cid, (rid, off) in links.items()],
-                "rid string, ring_id string, off long, nverts long",
+                lmap_rows, "rid string, ring_id string, off long, lo long, hi long"
             )
             chains = (
                 stitched.where(F.col("kind") == "chain")
                 .join(F.broadcast(lmap), on="rid")
-                # drop each chain's final vertex: the next chain in the
-                # cycle re-emits that border node as its first vertex
-                .where(F.col("seq") < F.col("nverts") - 1)
+                # each vertex row belongs to exactly one (lo, hi) slice; a
+                # chain's final vertex is excluded everywhere (hi <= n-1):
+                # the next chain in the cycle re-emits that border node
+                .where((F.col("seq") >= F.col("lo")) & (F.col("seq") < F.col("hi")))
                 .select(
-                    "ring_id", (F.col("off") + F.col("seq")).alias("seq"),
+                    "ring_id",
+                    (F.col("off") + F.col("seq") - F.col("lo")).alias("seq"),
                     "x", "y", "z",
                 )
             )

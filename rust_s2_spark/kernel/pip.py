@@ -1155,6 +1155,15 @@ def _order_nested(loops: list["Loop"]) -> list["Loop"]:
 
     for r in children[None]:
         visit(r, 0)
+    if len(ordered) != n:
+        # a containment cycle (every loop claims a parent) silently orphaning
+        # loops would corrupt parity semantics — fail loudly instead.  Valid
+        # non-crossing loop sets cannot cycle; this fires on malformed input
+        # (e.g. self-touching loops with duplicate vertices).
+        raise ValueError(
+            f"polygon nesting failed: {n - len(ordered)} of {n} loops in a "
+            "containment cycle (malformed or self-touching input loops?)"
+        )
     return ordered
 
 

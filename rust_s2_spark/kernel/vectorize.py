@@ -14,6 +14,16 @@ polygon bounding exactly that region.  Method:
      corner), giving interior-left rings — holes arrive clockwise and
      ``Polygon.from_oriented_loops`` re-inverts them.
 
+The stitch is a CANONICAL per-node matching: at every boundary vertex,
+incoming edges (processed in ascending start-vertex key order) each take
+the most-sharply-LEFT remaining outgoing edge (interior-on-left keeps
+corner-touching components on separate rings); the rings are then exactly
+the cycles of that matching, each rotated to start at its smallest corner
+key.  Node decisions depend only on the edges AT that node — never on
+traversal order — so a distributed stitcher that applies the same rule
+per node (engine/vectorize_dist.py) reproduces the decomposition
+ring-for-ring.
+
 The result satisfies: contains_point(p) == union membership of leaf(p)
 for any p not on a cell boundary, and area(polygon) == sum of the cells'
 exact areas.
@@ -28,7 +38,12 @@ from . import hilbert, stuv
 from .covering import CellUnion
 from .pip import Loop, Polygon
 
-__all__ = ["cellunion_boundary"]
+__all__ = [
+    "cellunion_boundary",
+    "batched_cell_corners",
+    "match_ins_to_outs",
+    "split_at_repeats",
+]
 
 
 def _corner_key(p: np.ndarray) -> tuple:
@@ -46,6 +61,96 @@ def _turn_ccw(prev_pt: np.ndarray, v: np.ndarray, nxt_pt: np.ndarray) -> float:
     return float(np.arctan2(s, c))
 
 
+def batched_cell_corners(ids_arr: np.ndarray, level: int):
+    """Batched Cell.vertex replication for uniform level-``level`` cells:
+    (face, corners, border) with corners (n, 4, 3) unit vectors CCW from
+    the uv-lo corner and border (n, 4) per-corner face-border flags
+    (|u| == 1 or |v| == 1 — exact at the grid extremes: st_to_uv(0) = -1
+    and st_to_uv(1) = 1 are closed-form).
+
+    The math replicates Cell.vertex() op-for-op (ij_level_to_bound_uv ->
+    st_to_uv -> face_uv_to_xyz -> normalize), so corner keys stay
+    bit-identical to the scalar path (proven in tests) — this SHARED helper
+    is the linchpin of cross-path key matching between the serial stitch
+    and engine/vectorize_dist.py."""
+    ids_arr = np.asarray(ids_arr, dtype=np.uint64)
+    f, i, j, _ = hilbert.cellid_to_face_ij_orientation(ids_arr)
+    cell_size = np.int64(h.size_ij(level))
+    x_lo = i.astype(np.int64) & -cell_size
+    y_lo = j.astype(np.int64) & -cell_size
+    u_lo = stuv.st_to_uv(stuv.ij_to_stmin(x_lo))
+    u_hi = stuv.st_to_uv(stuv.ij_to_stmin(x_lo + cell_size))
+    v_lo = stuv.st_to_uv(stuv.ij_to_stmin(y_lo))
+    v_hi = stuv.st_to_uv(stuv.ij_to_stmin(y_lo + cell_size))
+    fi = f.astype(np.int64)
+    corners, borders = [], []
+    for cu_, cv_ in ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi)):
+        x, y, z = stuv.face_uv_to_xyz(fi, cu_, cv_)
+        nn = np.sqrt(x * x + y * y + z * z)
+        corners.append(np.stack([x / nn, y / nn, z / nn], axis=-1))
+        borders.append((np.abs(cu_) == 1.0) | (np.abs(cv_) == 1.0))
+    return fi, np.stack(corners, axis=1), np.stack(borders, axis=1)
+
+
+def match_ins_to_outs(node_pt: np.ndarray, ins: list, outs: list) -> list:
+    """Canonical in->out pairing at one boundary vertex.
+
+    ``ins``: (sort_key, prev_pt, in_tag) — sort_key is the numeric corner
+    key of the edge's START vertex (distinct ins never tie: two directed
+    edges cannot share both endpoints).  ``outs``: (next_pt, out_tag).
+    Ins are processed in ascending sort_key; each takes the most-sharply-
+    LEFT remaining out (interior-on-left keeps corner-touching components
+    on separate rings).  Depends only on the edges at this node, never on
+    traversal order — the distributed stitcher applies the identical rule.
+    """
+    pairs = []
+    remaining = list(outs)
+    for _, prev_pt, in_tag in sorted(ins, key=lambda t: t[0]):
+        if len(remaining) == 1:
+            k = 0
+        else:
+            k = max(
+                range(len(remaining)),
+                key=lambda i2: _turn_ccw(prev_pt, node_pt, remaining[i2][0]),
+            )
+        pairs.append((in_tag, remaining[k][1]))
+        remaining.pop(k)
+    return pairs
+
+
+def split_at_repeats(items: list, keys: list) -> list:
+    """Split a closed walk into node-disjoint cycles at PINCH nodes.
+
+    A mask whose parts meet only at a corner (a pinch) yields a boundary
+    cycle that visits the pinch vertex twice no matter how the node pairing
+    is chosen — but a Loop must not repeat vertices, so the walk is cut
+    into the two rings that merely SHARE the pinch.  Pinches of a
+    non-self-crossing walk are properly nested (interleaving would force a
+    crossing), so a single stack pass suffices.  Works for open walks too:
+    the last returned element is the reduced remainder (for chains); for
+    closed walks every element is a ring.
+
+    Returns a list of (items_slice, keys_slice) pairs."""
+    out = []
+    stack_i: list = []
+    stack_k: list = []
+    pos: dict = {}
+    for it, k in zip(items, keys):
+        if k in pos:
+            i = pos[k]
+            ring_i, ring_k = stack_i[i:], stack_k[i:]
+            out.append((ring_i, ring_k))
+            for kk in ring_k:
+                del pos[kk]
+            del stack_i[i:]
+            del stack_k[i:]
+        pos[k] = len(stack_i)
+        stack_i.append(it)
+        stack_k.append(k)
+    out.append((stack_i, stack_k))
+    return out
+
+
 def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
     """Boundary polygon of the region covered by ``cu``, traced on the
     level-``level`` grid.  ``level`` must be >= the deepest cell in the
@@ -57,70 +162,52 @@ def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
         return Polygon([], _nested=True)
     # batch the per-cell kernel work (ONE edge_neighbors / decode / corner
     # call over the whole union instead of len(ids) scalar calls — the
-    # scalar loop dominated stitch time ~50x on 1.5k-cell masks).  The
-    # corner math replicates Cell.vertex() op-for-op (ij_level_to_bound_uv
-    # -> st_to_uv -> face_uv_to_xyz -> normalize), so corner keys stay
-    # bit-identical to the scalar path (proven in tests).
+    # scalar loop dominated stitch time ~50x on 1.5k-cell masks)
     ids_arr = np.asarray(ids, dtype=np.uint64)
     all_nbrs = np.asarray(h.edge_neighbors(ids_arr), dtype=np.uint64)
     nbr_in = np.isin(all_nbrs, ids_arr)
-    f, i, j, _ = hilbert.cellid_to_face_ij_orientation(ids_arr)
-    cell_size = np.int64(h.size_ij(level))
-    x_lo = i.astype(np.int64) & -cell_size
-    y_lo = j.astype(np.int64) & -cell_size
-    u_lo = stuv.st_to_uv(stuv.ij_to_stmin(x_lo))
-    u_hi = stuv.st_to_uv(stuv.ij_to_stmin(x_lo + cell_size))
-    v_lo = stuv.st_to_uv(stuv.ij_to_stmin(y_lo))
-    v_hi = stuv.st_to_uv(stuv.ij_to_stmin(y_lo + cell_size))
-    fi = f.astype(np.int64)
-    corners = []
-    for cu_, cv_ in ((u_lo, v_lo), (u_hi, v_lo), (u_hi, v_hi), (u_lo, v_hi)):
-        x, y, z = stuv.face_uv_to_xyz(fi, cu_, cv_)
-        nn = np.sqrt(x * x + y * y + z * z)
-        corners.append(np.stack([x / nn, y / nn, z / nn], axis=-1))
-    verts_all = np.stack(corners, axis=1)  # (n, 4, 3) CCW from the uv-lo corner
-    edges: dict[tuple, list] = {}
+    _, verts_all, _ = batched_cell_corners(ids_arr, level)
+    # boundary edges: (a, b, akey, bkey)
+    edges = []
     for idx in range(len(ids)):
         for k in range(4):
             if nbr_in[idx, k]:
                 continue
             a, b = verts_all[idx, k], verts_all[idx, (k + 1) & 3]
-            edges.setdefault(_corner_key(a), []).append((a, b))
+            edges.append((a, b, _corner_key(a), _corner_key(b)))
+    # canonical per-node matching -> successor permutation
+    ins_by_node: dict[tuple, list] = {}
+    outs_by_node: dict[tuple, list] = {}
+    for ei, (a, b, akey, bkey) in enumerate(edges):
+        ins_by_node.setdefault(bkey, []).append((akey, a, ei))
+        outs_by_node.setdefault(akey, []).append((b, ei))
+    succ = [-1] * len(edges)
+    for node_key, ins in ins_by_node.items():
+        outs = outs_by_node.get(node_key, [])
+        if len(outs) != len(ins):
+            raise ValueError("vectorize stitch failed: open boundary chain")
+        node_pt = np.array(node_key)
+        for in_ei, out_ei in match_ins_to_outs(node_pt, ins, outs):
+            succ[in_ei] = out_ei
+    # rings = cycles of the matching, each rotated to its smallest key
+    visited = [False] * len(edges)
     loops = []
-    used = set()
-    for start_key, outs in edges.items():
-        for first in outs:
-            eid = id(first)
-            if eid in used:
-                continue
-            used.add(eid)
-            ring = [first[0]]
-            prev_pt = first[0]
-            cur_end = first[1]
-            guard = 0
-            while _corner_key(cur_end) != _corner_key(ring[0]):
-                ring.append(cur_end)
-                nxts = [
-                    e for e in edges.get(_corner_key(cur_end), []) if id(e) not in used
-                ]
-                if not nxts:
-                    raise ValueError("vectorize stitch failed: open boundary chain")
-                if len(nxts) == 1:
-                    nxt = nxts[0]
-                else:
-                    # corner-touch node (e.g. two cells of the set meeting
-                    # only diagonally): several outgoing boundary edges.
-                    # Keep each face on its own ring by taking the
-                    # continuation that turns most sharply LEFT of the
-                    # incoming edge (interior-on-left convention) — picking
-                    # arbitrarily can merge two rings into a self-touching
-                    # figure-8.
-                    nxt = max(nxts, key=lambda e: _turn_ccw(prev_pt, cur_end, e[1]))
-                used.add(id(nxt))
-                prev_pt = cur_end
-                cur_end = nxt[1]
-                guard += 1
-                if guard > 4 * len(ids) + 8:
-                    raise ValueError("vectorize stitch failed: unbounded chain")
-            loops.append(Loop(np.array(ring)))
+    for i0 in sorted(range(len(edges)), key=lambda ei: (edges[ei][2], edges[ei][3])):
+        if visited[i0]:
+            continue
+        ring, keys = [], []
+        ei, guard = i0, 0
+        while True:
+            visited[ei] = True
+            ring.append(edges[ei][0])
+            keys.append(edges[ei][2])
+            ei = succ[ei]
+            guard += 1
+            if ei == i0:
+                break
+            if guard > len(edges):
+                raise ValueError("vectorize stitch failed: unbounded chain")
+        for ring_part, keys_part in split_at_repeats(ring, keys):
+            rot = min(range(len(keys_part)), key=lambda t: keys_part[t])
+            loops.append(Loop(np.array(ring_part[rot:] + ring_part[:rot])))
     return Polygon.from_oriented_loops(loops)

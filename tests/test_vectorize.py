@@ -246,3 +246,38 @@ def test_batched_corners_bit_identical_to_cell_vertex():
             vec = np.stack([x / nn, y / nn, z / nn], axis=-1)
             for t in range(len(ids_arr)):
                 assert np.array_equal(Cell(int(ids_arr[t])).vertex(k), vec[t])
+
+
+def test_dense_pinched_masks_valid():
+    """Dense random masks (~56% fill) are full of PINCHES — cells meeting
+    diagonally around enclosed pockets.  Any local pairing rule yields
+    boundary walks that revisit the pinch vertex, and a Loop must not
+    repeat vertices: the stitcher splits such walks into rings that merely
+    SHARE the pinch.  Before this worked, these masks collapsed to an
+    EMPTY polygon (the self-touching loops cycled the nesting forest).
+    Gate: vertex-count identity, exact area identity, membership
+    round-trip, and no duplicate vertices in any loop."""
+    from rust_s2_spark.engine.queries import _tile_quad_areas
+
+    for seed, n, lvl in ((38, 1500, 4), (900, 1500, 4), (68, 300, 3), (176, 57, 2)):
+        rng = np.random.default_rng(seed)
+        la = rng.uniform(-89, 89, n)
+        ln = rng.uniform(-180, 180, n)
+        mask = np.unique(h.parent(hilbert.cellid_from_latlng(la, ln), lvl))
+        in_set = {int(x) for x in mask}
+        nbrs = np.asarray(h.edge_neighbors(mask), dtype=np.uint64)
+        n_bd = int(sum(int(x) not in in_set for x in nbrs.ravel()))
+        poly = cellunion_boundary(CellUnion([int(x) for x in mask]), lvl)
+        assert sum(len(lp.vertices) for lp in poly.loops) == n_bd
+        for lp in poly.loops:
+            keys = [tuple(np.round(v, 14)) for v in lp.vertices]
+            assert len(set(keys)) == len(keys)  # no self-touching loops
+        cell_sum = float(np.sum(_tile_quad_areas(mask, lvl)))
+        assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
+        rng2 = np.random.default_rng(seed + 1)
+        la2 = rng2.uniform(-85, 85, 150)
+        ln2 = rng2.uniform(-179, 179, 150)
+        probes = h.parent(hilbert.cellid_from_latlng(la2, ln2), lvl)
+        for t in range(150):
+            p = _latlng_point(math.radians(la2[t]), math.radians(ln2[t]))
+            assert poly.contains_point(p) == (int(probes[t]) in in_set)

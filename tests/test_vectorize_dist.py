@@ -154,3 +154,16 @@ def test_degenerate_masks(spark):
     # a single interior cell at level 6
     cell = h.parent(hilbert.cellid_from_latlng(np.array([17.0]), np.array([33.0])), 6)
     assert _dist_rings(spark, cell, 6) == _kernel_rings(cell, 6)
+
+
+@pytest.mark.parametrize("seed,n,level", [(38, 1500, 4), (900, 1500, 4), (68, 300, 3), (21, 1500, 4)])
+def test_dense_pinched_masks_match_kernel(spark, seed, n, level):
+    """Pinch-heavy dense masks: interior pinches whose pocket crosses a
+    face border land in DIFFERENT chains — the face tasks annotate them and
+    the driver splits the assembled ring.  Ring-for-ring parity with the
+    kernel (these exact masks previously crashed or merged rings)."""
+    rng = np.random.default_rng(seed)
+    la = rng.uniform(-89, 89, n)
+    ln = rng.uniform(-180, 180, n)
+    mask = np.unique(h.parent(hilbert.cellid_from_latlng(la, ln), level))
+    assert _dist_rings(spark, mask, level) == _kernel_rings(mask, level)
