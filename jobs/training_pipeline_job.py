@@ -145,7 +145,6 @@ def main(argv=None):
     # stitch is O(perimeter); the ring table is the lakehouse artifact a
     # downstream sampler or dashboard consumes.
     def footprint_fn():
-        from rust_s2_spark.engine.queries import _tile_quad_areas
         from rust_s2_spark.kernel.covering import CellUnion
         from rust_s2_spark.kernel.vectorize import cellunion_boundary
 
@@ -154,14 +153,16 @@ def main(argv=None):
             for r in ck.read("tile_stats").select("tile").collect()
         )
         poly = cellunion_boundary(CellUnion(tiles), args.tile_level)
-        areas = _tile_quad_areas(np.asarray(tiles, dtype=np.uint64), args.tile_level)
-        mask_area = float(np.sum(areas)) if tiles else 0.0
+        # the ACTUAL geometry (one row per ring vertex, interior-left
+        # order, shells even depth / holes odd) — a downstream sampler or
+        # dashboard reconstructs the boundary from these rows
         rows = [
-            (k, int(lp.depth), len(lp.vertices), mask_area)
+            (k, int(lp.depth), s, float(v[0]), float(v[1]), float(v[2]))
             for k, lp in enumerate(poly.loops)
+            for s, v in enumerate(lp.vertices)
         ]
         return spark.createDataFrame(
-            rows, "ring_id int, depth int, n_vertices int, mask_area double"
+            rows, "ring_id int, depth int, seq int, x double, y double, z double"
         )
 
     record(ck.materialize("footprint", footprint_fn, inputs=["tile_stats"], stage_version=ver))

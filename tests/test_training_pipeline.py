@@ -36,15 +36,21 @@ def test_pipeline_runs_and_resumes(spark, ckroot):
     assert 0 < st["curated"]["rows"] <= st["dedup"]["rows"]
     assert st["geo_cells"]["rows"] == st["curated"]["rows"]
     assert 0 < st["tile_stats"]["rows"] <= st["geo_cells"]["rows"]
-    # footprint: every occupied tile is isolated or merged into rings; ring
-    # vertex counts are positive multiples of 4 minus shared corners — just
-    # assert the stage produced geometry consistent with the mask
-    assert st["footprint"]["rows"] >= 1
+    # footprint: actual ring GEOMETRY (one row per boundary vertex) —
+    # every ring has >= 4 unit-vector vertices in contiguous seq order
+    assert st["footprint"]["rows"] >= 4
     fp = spark.read.parquet(f"{ckroot}/footprint")
     import numpy as np
 
-    nv = np.array([r["n_vertices"] for r in fp.collect()])
-    assert (nv >= 4).all()
+    by_ring: dict = {}
+    for r in fp.collect():
+        by_ring.setdefault(r["ring_id"], []).append(r)
+    assert by_ring
+    for rid, vs in by_ring.items():
+        assert len(vs) >= 4
+        assert sorted(r["seq"] for r in vs) == list(range(len(vs)))
+        for r in vs:
+            assert abs(r["x"] ** 2 + r["y"] ** 2 + r["z"] ** 2 - 1.0) < 1e-12
     assert st["ann_buckets"]["rows"] == 500
     # a third run reuses everything (fully resumable, idempotent)
     report3 = job.main(args)
