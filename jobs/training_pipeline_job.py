@@ -37,7 +37,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGE_VERSION = "v1"
+STAGE_VERSION = "v2"  # v2: footprint stage emits ring geometry (vertex rows)
 
 
 def main(argv=None):
@@ -153,13 +153,17 @@ def main(argv=None):
             for r in ck.read("tile_stats").select("tile").collect()
         )
         poly = cellunion_boundary(CellUnion(tiles), args.tile_level)
-        # the ACTUAL geometry (one row per ring vertex, interior-left
-        # order, shells even depth / holes odd) — a downstream sampler or
-        # dashboard reconstructs the boundary from these rows
+        # the ACTUAL geometry, one row per ring vertex in interior-left
+        # order (shells CCW at even depth, holes CW at odd) — Polygon
+        # stores holes re-inverted, so odd depths are reversed back here.
+        # A downstream sampler or dashboard reconstructs the boundary
+        # from these rows.
         rows = [
             (k, int(lp.depth), s, float(v[0]), float(v[1]), float(v[2]))
             for k, lp in enumerate(poly.loops)
-            for s, v in enumerate(lp.vertices)
+            for s, v in enumerate(
+                lp.vertices[::-1] if lp.depth % 2 else lp.vertices
+            )
         ]
         return spark.createDataFrame(
             rows, "ring_id int, depth int, seq int, x double, y double, z double"

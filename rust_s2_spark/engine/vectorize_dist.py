@@ -23,12 +23,15 @@ perimeter-proportional step distributed:
      never pass through the driver.
 
 Because both stitchers decide every node with the identical order-free
-rule, the output is ring-for-ring identical to cellunion_boundary
-(orientation included: interior-left, shells CCW / holes CW) — proven on
-dense random masks in tests/test_vectorize_dist.py.  Vertex rotation is
-deterministic but differs from the serial stitch for cross-face rings:
+rule — and both split walks at pinch revisits (face-locally where the
+pinch is visible in one chain or interior cycle; at the driver, via
+annotated cross-chain pinches and range-based chain maps) — the output is
+ring-for-ring identical to cellunion_boundary (orientation included:
+interior-left, shells CCW / holes CW), proven on dense pinch-heavy random
+masks in tests/test_vectorize_dist.py.  Vertex rotation is deterministic:
 interior rings start at their smallest corner key; chain-assembled rings
-start at their smallest border-node key.
+at a deterministic chain cut (ring ids are stable identifiers, not
+geometric keys).
 """
 
 from __future__ import annotations
@@ -337,7 +340,7 @@ def _ring_split(ring: list, ga: int, gb: int) -> tuple[list, list]:
     [ga, gb) and [gb, ga+L) — segments sliced at the cut points."""
 
     def slice_range(start: int, length: int) -> list:
-        out, pos, need = [], 0, length
+        out, need = [], length
         # walk the cyclic segment list twice to cover wrap-around
         segs = ring + ring
         skipped = start
@@ -406,12 +409,13 @@ def boundary_rings(spark: SparkSession, tiles_df: DataFrame, level: int) -> Data
         rings = stitched.where(F.col("kind") == "ring").select(
             F.col("rid").alias("ring_id"), "seq", "x", "y", "z"
         )
-        sums = stitched.where(F.col("kind") == "chain_sum").collect()
+        meta = stitched.where(F.col("kind").isin("chain_sum", "pinch")).collect()
+        sums = [r for r in meta if r["kind"] == "chain_sum"]
         if sums:
-            pinch_rows = stitched.where(F.col("kind") == "pinch").collect()
             pinches = [
                 (r["rid"], int(r["seq"]), r["ekey"], int(r["px"]))
-                for r in pinch_rows
+                for r in meta
+                if r["kind"] == "pinch"
             ]
             seg_rings = _apply_pinches(_assemble_base_rings(sums), pinches)
             lmap_rows = []
