@@ -41,6 +41,7 @@ HEADLINE = [
     "s2_coastline_join",
     "s2_rasterize",
     "s2_vectorize",
+    "s2_vectorize_dist",
     "s2_knn",
     "s2_knn_cellring",
     "s2_segment_distance",
@@ -227,7 +228,40 @@ def main():
     }
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         out["streaming"] = bench_streaming(spark)
-    print(json.dumps(out))
+
+    # The driver records only the LAST ~2000 chars of stdout; round 4's full
+    # record (~4.5 kB) got decapitated and BENCH_r04.json arrived parsed:null.
+    # Write the complete record to a file, then print a compact headline line
+    # LAST — metric, value, per-query warm medians — guaranteed to fit.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_r05.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        full_path = None
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": warm,
+        "sf": sf_dir,
+        "suite_size": out["suite_size"],
+        "cold_total_sec": out["cold_total_sec"],
+        "tile_docs_per_sec": out["tile_docs_per_sec"],
+    }
+    if "streaming" in out:
+        compact["stream_rows_per_sec"] = {
+            k: v["rows_per_sec"] for k, v in out["streaming"].items()
+        }
+    if full_path:
+        compact["full_record"] = os.path.basename(full_path)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -953,6 +953,101 @@ WITH pts AS ({_latlng_cte()}),
 """
 
 
+def _st_to_uv_exact_sql(s: str) -> str:
+    """st -> uv mirroring the kernel's op ORDER exactly (stuv.py:48-60
+    multiplies by the double 1/3; dividing by 3.0 differs by ulps).  The
+    vectorize-dist oracle gates on scaled-INTEGER vertex sums, so every
+    float op must be bit-identical, not merely close."""
+    third = specs.f(1.0 / 3.0)
+    return (
+        f"(CASE WHEN {s} >= 0.5 THEN {third} * (4.0*{s}*{s} - 1.0) "
+        f"ELSE {third} * (1.0 - 4.0*(1.0-{s})*(1.0-{s})) END)"
+    )
+
+
+def o_s2_vectorize_dist() -> str:
+    """Combinatorial oracle for the DISTRIBUTED stitcher (boundary_rings).
+
+    Recomputes — without ever stitching — the dilated mask (tiles + their
+    4 FACE_WRAP edge neighbors), its boundary edges, and each edge's
+    interior-left START corner: the stitcher emits exactly one ring vertex
+    per boundary edge (the corner where that edge's traversal begins, in
+    its own tile's face parametrization), so n_vertices and the scaled-
+    integer coordinate sums pin the emitted geometry.  Corner math uses
+    only IEEE-exact ops in mirrored order (see _st_to_uv_exact_sql), so
+    round(coord * SCALE) is bit-identical across engines and the integer
+    sums are reorder-proof.
+    """
+    lvl = specs.VECTORIZE_DIST_LEVEL
+    lat_lo, lat_hi, lng_lo, lng_hi = specs.VECTORIZE_DIST_BOX
+    n = 1 << lvl
+    shift = 30 - lvl
+    cell = 1 << shift
+    scale = specs.f(specs.VECTORIZE_DIST_SCALE)
+
+    def expand(src: str) -> str:
+        """Per-tile 4-direction neighbor candidates with raw (ri, rj)."""
+        return f"""
+  SELECT {src}.face, {src}.ti, {src}.tj, dirs.d,
+    ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+    tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+  FROM {src}, (VALUES (0),(1),(2),(3)) dirs(d)"""
+
+    def wrapped(src: str) -> str:
+        """Neighbor coordinates after the FACE_WRAP cube transform."""
+        in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+        return f"""
+  SELECT face, ti, tj, d,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END AS nf,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END AS nti,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END AS ntj
+  FROM {src}"""
+
+    # interior-left traversal starts edge d at corner d (corners CCW from
+    # the uv-lo corner: (0,0) (1,0) (1,1) (0,1) in tile units)
+    ci = "(ti + CASE d WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END)"
+    cj = "(tj + CASE d WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END)"
+    s_expr = f"CAST({ci} * {cell} AS DOUBLE) / 1073741824.0"
+    t_expr = f"CAST({cj} * {cell} AS DOUBLE) / 1073741824.0"
+    x0, y0, z0 = _face_uv_to_xyz_sql("face", "u", "v")
+    return f"""
+WITH pts AS (
+  SELECT * FROM ({_latlng_cte()}) p0
+  WHERE lat >= {specs.f(lat_lo)} AND lat < {specs.f(lat_hi)}
+    AND lng >= {specs.f(lng_lo)} AND lng < {specs.f(lng_hi)}
+),
+{_fij_ctes("event_id").strip()},
+base AS (SELECT face, i >> {shift} AS ti, j >> {shift} AS tj FROM ij GROUP BY 1,2,3),
+dn AS ({expand('base')}),
+dn2 AS ({wrapped('dn')}),
+mask AS (
+  SELECT face, ti, tj FROM base
+  UNION
+  SELECT nf, nti, ntj FROM dn2
+),
+nb AS ({expand('mask')}),
+nb2 AS ({wrapped('nb')}),
+bd AS (
+  SELECT nb2.face, nb2.ti, nb2.tj, nb2.d
+  FROM nb2 LEFT JOIN mask t2
+    ON nb2.nf = t2.face AND nb2.nti = t2.ti AND nb2.ntj = t2.tj
+  WHERE t2.face IS NULL
+),
+cst AS (SELECT face, {s_expr} AS s, {t_expr} AS t FROM bd),
+cuv AS (SELECT face, {_st_to_uv_exact_sql('s')} AS u, {_st_to_uv_exact_sql('t')} AS v FROM cst),
+cxyz AS (SELECT {x0} AS x, {y0} AS y, {z0} AS z FROM cuv),
+cn AS (SELECT x, y, z, sqrt(x*x + y*y + z*z) AS nrm FROM cxyz),
+verts AS (SELECT x/nrm AS vx, y/nrm AS vy, z/nrm AS vz FROM cn)
+SELECT CAST({lvl} AS BIGINT) AS level,
+  (SELECT count(*) FROM mask) AS n_cells,
+  count(*) AS n_vertices,
+  CAST(sum(CAST(round(vx * {scale}) AS BIGINT)) AS BIGINT) AS sx,
+  CAST(sum(CAST(round(vy * {scale}) AS BIGINT)) AS BIGINT) AS sy,
+  CAST(sum(CAST(round(vz * {scale}) AS BIGINT)) AS BIGINT) AS sz
+FROM verts
+"""
+
+
 def o_cap_tile_rollup() -> str:
     vals = ", ".join(
         f"('{rid}', {specs.f(cx)}, {specs.f(cy)}, {specs.f(cz)}, {specs.f(r2)})"
@@ -1392,6 +1487,7 @@ ORACLES = {
     "s2_cap_tile_rollup": o_cap_tile_rollup,
     "s2_rasterize": o_rasterize,
     "s2_vectorize": o_s2_vectorize,
+    "s2_vectorize_dist": o_s2_vectorize_dist,
     "s2_rect_join": o_rect_join,
     "s2_pip_join": o_pip_join,
     "s2_poly_nested_join": o_poly_nested_join,

@@ -55,7 +55,11 @@ _SPREAD_KEYS = {
 
 
 def _read(
-    spark: SparkSession, sf_dir: str, name: str, spread_key: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_key: str | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     # memoized per (session, dataset, table, spread key): the spread-on-read
     # probe (`df.rdd.getNumPartitions()`) runs full physical planning + RDD
@@ -67,12 +71,19 @@ def _read(
     # operator shuffles on a known key (window/agg partitionBy) passes that
     # key so the spread IS the downstream partitioning — one Exchange total
     # instead of a redundant spread Exchange below the operator's own.
-    ckey = (spark.sparkContext.applicationId, sf_dir, name, spread_key)
+    #
+    # ``spread=False`` skips the spread entirely: the right call when the
+    # consumer's FIRST operator is an aggregation (map-side partial combine
+    # collapses the input before any shuffle — a pre-spread Exchange would
+    # move the full table to save nothing) or a pure map/filter (no shuffle
+    # anywhere — the scan's own splits are the parallelism, and at
+    # production split counts the spread guard is a no-op anyway).
+    key = (spread_key or _SPREAD_KEYS.get(name)) if spread else None
+    ckey = (spark.sparkContext.applicationId, sf_dir, name, key)
     hit = _READ_CACHE.get(ckey)
     if hit is not None:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    key = spread_key or _SPREAD_KEYS.get(name)
     if key is not None:
         n = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < n:
@@ -773,11 +784,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pz = F.sin(F.radians("lat"))
     d2 = (px - F.col("qx")) ** 2 + (py - F.col("qy")) ** 2 + (pz - F.col("qz")) ** 2
     joined = docs.crossJoin(F.broadcast(queries)).withColumn("d2", d2)
-    # single window: Catalyst's WindowGroupLimit inserts the map-side
-    # partial top-k below the Exchange itself (Partial mode), so the
-    # shuffle carries O(partitions * k) rows, not O(n) — the hand-written
-    # per-partition pre-window this replaces added a redundant second
-    # Sort+Exchange+Window chain for the same bound.
+    # single window: Catalyst's WindowGroupLimit (Spark >= 3.5; this repo
+    # targets Spark 4.x) inserts the map-side partial top-k below the
+    # Exchange itself (Partial mode), so the shuffle carries
+    # O(partitions * k) rows, not O(n) — the hand-written per-partition
+    # pre-window this replaces added a redundant second
+    # Sort+Exchange+Window chain for the same bound.  On Spark < 3.5 the
+    # shuffle would carry O(n) rows (correctness unaffected).
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("event_id").asc())
     ranked = joined.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= specs.KNN_K)
     return ranked.select("query_id", "event_id", "rank", F.round("d2", 6).alias("d2_r"))
@@ -1422,8 +1435,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary; decimal-exact money sums."""
-    li = _read(spark, sf_dir, "lineitem")
+    """TPC-H Q1-shaped pricing summary; decimal-exact money sums.
+
+    spread=False: the first operator is the aggregation itself — map-side
+    partial combine reduces each scan split to <=6 group rows, so the only
+    Exchange in the plan is the agg's own (hash on the group keys)."""
+    li = _read(spark, sf_dir, "lineitem", spread=False)
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     # small factors keep the triple product within decimal(38,_) exactly
     disc = F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)")
@@ -1498,8 +1515,10 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — map-side partial aggregation expands each row into its grouping
     combinations, so this beats 4 separate jobs at any scale.  grouping_id
     disambiguates NULL-as-total from genuine NULL keys; sums ride
-    decimal(18,2) so the result is addition-order independent (exact)."""
-    ev = _read(spark, sf_dir, "events")
+    decimal(18,2) so the result is addition-order independent (exact).
+    spread=False: Expand feeds a partial HashAggregate directly above the
+    scan, so the cube's own Exchange is the plan's only shuffle."""
+    ev = _read(spark, sf_dir, "events", spread=False)
     base = ev.select(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "event_type",
@@ -1602,8 +1621,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure Catalyst regexp/char math (whole-stage codegen, no Python); the
     per-doc piece/word ratio is the standard tokens-per-word cost signal a
-    curation pipeline thresholds on."""
-    docs = _read(spark, sf_dir, "documents")
+    curation pipeline thresholds on.  spread=False: pure map — zero
+    Exchanges; the scan's splits are the parallelism."""
+    docs = _read(spark, sf_dir, "documents", spread=False)
     text = F.col("text")
     n_ws = F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
     n_bpe = F.regexp_count(text, F.lit(BPE_PAT))
@@ -1622,8 +1642,9 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries, speculative re-execution, and engines — so the predicate is a
     char-fold hash of doc_id, not rand().  Scale shape: a pure pushed-down
     filter — no shuffle, no RNG state, trivially parallel, and the same
-    rows survive on any cluster size or retry."""
-    docs = _read(spark, sf_dir, "documents")
+    rows survive on any cluster size or retry.  spread=False: the plan is
+    scan -> filter -> project with zero Exchanges."""
+    docs = _read(spark, sf_dir, "documents", spread=False)
     h = F.expr(
         "aggregate(filter(split(CAST(doc_id AS STRING), ''), c -> c <> ''), "
         f"CAST(0 AS BIGINT), {_TOKEN_HASH})"
@@ -2051,6 +2072,17 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r["tile"] & 0xFFFFFFFFFFFFFFFF for r in counts], dtype=np.uint64
     )
     cvals = np.array([r["c"] for r in counts], dtype=np.int64)
+    if not len(cvals):
+        # empty input: both variants degrade to the empty polygon, matching
+        # the oracle's coalesce(round(area,7), 0.0) on zero occupied tiles
+        rows = [
+            (name, lvl, 0, 0, 0.0)
+            for name, lvl, _ in specs.VECTORIZE_VARIANTS
+        ]
+        return spark.createDataFrame(
+            rows,
+            "variant string, level long, n_cells long, n_vertices long, area_r double",
+        )
     # 2x mean per occupied fine tile; int sums < 2^53, so the double
     # division is bit-identical to the oracle's avg()
     thr = 2.0 * (int(cvals.sum()) / len(cvals))
@@ -2070,6 +2102,71 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "variant", "level", "n_cells", "n_vertices",
         F.round("area", 7).alias("area_r"),
+    )
+
+
+def q_s2_vectorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed raster->vector: the level-12+ scale path, oracled.
+
+    Unlike q_s2_vectorize (serial kernel stitch over a grid-bounded coarse
+    mask), this runs engine/vectorize_dist.boundary_rings — per-face
+    distributed stitch, O(chains) driver linking — over a fine-level mask:
+    the level-VECTORIZE_DIST_LEVEL tiles occupied by events inside the spec
+    lat/lng window, dilated by their 4 edge neighbors (plus-shaped blobs
+    that merge, pinch at corner touches, and cross the face-0/face-2
+    border).  The gate checks the EMITTED GEOMETRY, not just counts: every
+    boundary edge contributes exactly one ring vertex (its interior-left
+    start corner, computed from its own tile's face parametrization), and
+    the corner math uses only IEEE-exact ops (+,-,*,/,sqrt), so summing
+    round(coord * SCALE) as integers is bit-reproducible across engines
+    and immune to float reorder.  The oracle recomputes mask, dilation,
+    boundary edges, and start corners combinatorially via the FACE_WRAP
+    cube topology — never stitching — so the stitcher is verified
+    end-to-end by an independent formulation.
+    """
+    from .vectorize_dist import boundary_rings, dilate_tiles
+
+    lvl = specs.VECTORIZE_DIST_LEVEL
+    lat_lo, lat_hi, lng_lo, lng_hi = specs.VECTORIZE_DIST_BOX
+
+    def build_mask():
+        docs = events_geo(spark, sf_dir)
+        base = (
+            docs.where(
+                (F.col("lat") >= F.lit(lat_lo))
+                & (F.col("lat") < F.lit(lat_hi))
+                & (F.col("lng") >= F.lit(lng_lo))
+                & (F.col("lng") < F.lit(lng_hi))
+            )
+            .select(tiling.parent_col("cell_id", lvl).alias("tile"))
+            .distinct()
+        )
+        return dilate_tiles(base, lvl)
+
+    # mask + stitched rings are the materialized-index analog (the simhash
+    # signature-table pattern): built once per (session, sf), reused by
+    # re-invocations; clear_geo_cache() drops them so the bench cold pass
+    # pays the full stitch honestly
+    mask = _aux_persisted(spark, sf_dir, "vdist_mask", build_mask)
+    rings = _aux_persisted(
+        spark, sf_dir, "vdist_rings", lambda: boundary_rings(spark, mask, lvl)
+    )
+    scale = F.lit(specs.VECTORIZE_DIST_SCALE)
+
+    def vsum(c: str):
+        return F.sum(F.round(F.col(c) * scale, 0).cast("long")).alias(f"s{c}")
+
+    verts = rings.agg(
+        F.count("*").alias("n_vertices"), vsum("x"), vsum("y"), vsum("z")
+    )
+    cells = mask.agg(F.count("*").alias("n_cells"))
+    return cells.crossJoin(verts).select(
+        F.lit(lvl).cast("long").alias("level"),
+        "n_cells",
+        "n_vertices",
+        "sx",
+        "sy",
+        "sz",
     )
 
 
@@ -2146,6 +2243,7 @@ QUERIES = {
     "s2_cap_tile_rollup": q_cap_tile_rollup,
     "s2_rasterize": q_rasterize,
     "s2_vectorize": q_s2_vectorize,
+    "s2_vectorize_dist": q_s2_vectorize_dist,
     "s2_rect_join": q_rect_join,
     "s2_pip_join": q_pip_join,
     "s2_poly_nested_join": q_poly_nested_join,

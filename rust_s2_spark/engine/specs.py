@@ -234,6 +234,20 @@ VOWELS = "aeiou"
 # hot = the fine tiles over the threshold.
 VECTORIZE_VARIANTS = (("occ", 4, False), ("hot", 5, True))
 
+# Distributed vectorize (s2_vectorize_dist): the level-12+ scale path
+# (engine/vectorize_dist.boundary_rings) gets its own oracled query.  The
+# mask is the level-VECTORIZE_DIST_LEVEL tiles occupied by events inside a
+# lat/lng window, DILATED by their 4 edge neighbors (FACE_WRAP topology) —
+# plus-shaped blobs that merge into connected regions, corner-touch
+# (pinches), and cross face borders (the window straddles the face-0/face-2
+# edge at lat 45).  VECTORIZE_DIST_SCALE turns ring-vertex coordinates
+# into reorder-proof scaled-integer checksums: corner coords use only
+# IEEE-exact ops (+,*,/,sqrt), so Spark/numpy and DuckDB produce
+# bit-identical doubles when the op order is mirrored.
+VECTORIZE_DIST_LEVEL = 11
+VECTORIZE_DIST_BOX = (20.0, 60.0, -40.0, 40.0)  # lat_lo, lat_hi, lng_lo, lng_hi
+VECTORIZE_DIST_SCALE = 1000000000.0
+
 # Cube-face edge-adjacency transforms for level-L tiles in (face, ti, tj)
 # coordinates, with n = 2^L.  For a tile whose edge-neighbor step leaves
 # [0, n) on its face, FACE_WRAP[(face, dir)] = (nf, ti', tj') gives the

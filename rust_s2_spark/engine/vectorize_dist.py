@@ -61,14 +61,36 @@ _STITCH_SCHEMA = (
 
 
 def _key_str(p: np.ndarray) -> str:
-    """String form of the kernel's _corner_key rounding (exact: repr of the
-    rounded doubles round-trips).  ``+ 0.0`` folds -0.0 into +0.0 — the
+    """String form of the kernel's _corner_key rounding (exact: repr of a
+    Python float round-trips).  ``float(v)`` before repr: numpy >= 2.0
+    (NEP 51) makes repr(np.float64(0.5)) == 'np.float64(0.5)', which
+    _key_floats could not parse.  ``+ 0.0`` folds -0.0 into +0.0 — the
     kernel's tuple keys compare them equal, strings would not."""
-    return "|".join(repr(v) for v in np.round(p, 14) + 0.0)
+    return "|".join(repr(float(v)) for v in np.round(p, 14) + 0.0)
 
 
 def _key_floats(key: str) -> tuple:
     return tuple(float(v) for v in key.split("|"))
+
+
+def dilate_tiles(tiles_df: DataFrame, level: int) -> DataFrame:
+    """tiles ∪ their 4 edge-neighbors (cube FACE_WRAP topology) — one round
+    of morphological dilation on the level-``level`` grid, fully
+    distributed (batched kernel neighbor expansion, one distinct)."""
+    tiles_df = tiles_df.select("tile").distinct()
+
+    def expand(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(dtype=np.int64)
+            nbrs = np.asarray(
+                h.edge_neighbors(t.view(np.uint64)), dtype=np.uint64
+            ).view(np.int64)
+            yield pd.DataFrame({"tile": nbrs.reshape(-1)})
+
+    nbrs = tiles_df.mapInPandas(expand, schema="tile long")
+    return tiles_df.unionByName(nbrs).distinct()
 
 
 def _boundary_edges(tiles_df: DataFrame) -> DataFrame:

@@ -281,3 +281,21 @@ def test_dense_pinched_masks_valid():
         for t in range(150):
             p = _latlng_point(math.radians(la2[t]), math.radians(ln2[t]))
             assert poly.contains_point(p) == (int(probes[t]) in in_set)
+
+
+def test_vectorize_empty_events_guard(tmp_path, spark):
+    """An empty events table degrades to two zero rows (n_cells=0,
+    n_vertices=0, area_r=0.0) instead of ZeroDivisionError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_s2_spark.engine.queries import QUERIES
+
+    pq.write_table(
+        pa.table({"event_id": pa.array([], type=pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = QUERIES["s2_vectorize"](spark, str(tmp_path)).collect()
+    assert [
+        (r["variant"], r["n_cells"], r["n_vertices"], r["area_r"]) for r in rows
+    ] == [("occ", 0, 0, 0.0), ("hot", 0, 0, 0.0)]

@@ -167,3 +167,52 @@ def test_dense_pinched_masks_match_kernel(spark, seed, n, level):
     ln = rng.uniform(-180, 180, n)
     mask = np.unique(h.parent(hilbert.cellid_from_latlng(la, ln), level))
     assert _dist_rings(spark, mask, level) == _kernel_rings(mask, level)
+
+
+def test_dilate_tiles_matches_kernel(spark):
+    """dilate_tiles == tiles ∪ their kernel edge_neighbors (FACE_WRAP
+    adjacency included), computed independently in numpy."""
+    from rust_s2_spark.engine.vectorize_dist import dilate_tiles
+
+    mask = _mask_from_points(11, 60, 4)
+    df = spark.createDataFrame(
+        [(int(np.int64(x)),) for x in mask], "tile long"
+    )
+    got = {r["tile"] for r in dilate_tiles(df, 4).collect()}
+    nbrs = np.asarray(h.edge_neighbors(mask), dtype=np.uint64).reshape(-1)
+    want = {int(np.int64(x)) for x in np.unique(np.concatenate([mask, nbrs]))}
+    assert got == want
+    assert len(got) > len(mask)
+
+
+def test_vectorize_dist_query_vs_numpy(spark):
+    """q_s2_vectorize_dist's single row == an independent numpy replay:
+    box filter -> fine tiles -> dilation -> boundary edges -> per-edge
+    interior-left start corner -> scaled-integer sums.  Pins the oracle's
+    combinatorial model to the kernel from a third direction."""
+    import duckdb
+
+    from rust_s2_spark.engine import specs
+    from rust_s2_spark.engine.queries import QUERIES
+    from rust_s2_spark.kernel.vectorize import batched_cell_corners
+
+    row = QUERIES["s2_vectorize_dist"](spark, "/root/testdata/sf0.001").collect()[0]
+    ids = duckdb.sql(
+        "SELECT event_id FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchnumpy()["event_id"].astype(np.int64)
+    lat, lng = specs.latlng_np(ids)
+    lat_lo, lat_hi, lng_lo, lng_hi = specs.VECTORIZE_DIST_BOX
+    sel = (lat >= lat_lo) & (lat < lat_hi) & (lng >= lng_lo) & (lng < lng_hi)
+    lvl = specs.VECTORIZE_DIST_LEVEL
+    base = np.unique(h.parent(hilbert.cellid_from_latlng(lat[sel], lng[sel]), lvl))
+    nbrs = np.asarray(h.edge_neighbors(base), dtype=np.uint64).reshape(-1)
+    mask = np.unique(np.concatenate([base, nbrs]))
+    all_nbrs = np.asarray(h.edge_neighbors(mask), dtype=np.uint64)
+    outside = ~np.isin(all_nbrs, mask)
+    _, corners, _ = batched_cell_corners(mask, lvl)
+    starts = corners[outside]  # edge k's start vertex is corner k
+    scaled = np.round(starts * specs.VECTORIZE_DIST_SCALE).astype(np.int64)
+    assert row["level"] == lvl
+    assert row["n_cells"] == len(mask)
+    assert row["n_vertices"] == int(outside.sum()) > 0
+    assert (row["sx"], row["sy"], row["sz"]) == tuple(scaled.sum(axis=0))
