@@ -588,12 +588,21 @@ FROM leaf l JOIN pts p ON l.doc_id = p.doc_id
 
 
 def o_media_features() -> str:
+    """Replays the fixture blobs' arithmetic SPEC (synth_media_blob writes
+    w = doc_id*37 % 1920 + 1 etc. into real PNG IHDR / JPEG SOF0 headers;
+    the engine side recovers every feature by parsing the BYTES, so
+    agreement proves synth -> header parse round-trips).  Byte lengths are
+    structural constants: 65 = PNG sig + IHDR + empty IDAT + IEND chunks,
+    47 = JPEG SOI + APP0 + DQT stub + SOF0 + EOI."""
     return """
 SELECT doc_id, 'media://blob/' || CAST(doc_id AS VARCHAR) AS media_ref,
-  (doc_id * 37) % 1920 AS width,
-  (doc_id * 53) % 1080 AS height,
-  doc_id % 120 AS n_frames,
-  CAST((doc_id * 7919) % 256 AS DOUBLE) / 255.0 AS brightness
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+  (doc_id * 37) % 1920 + 1 AS width,
+  (doc_id * 53) % 1080 + 1 AS height,
+  CAST(3 AS BIGINT) AS n_channels,
+  CAST(8 AS BIGINT) AS bit_depth,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 65 ELSE 47 END AS BIGINT) AS n_bytes,
+  (((doc_id * 37) % 1920 + 1) * 1000000) // ((doc_id * 53) % 1080 + 1) AS aspect_ppm
 FROM documents WHERE doc_id % 4 = 0
 """
 
@@ -604,15 +613,21 @@ FROM documents WHERE doc_id % 4 = 0
 
 
 def o_pricing_summary() -> str:
+    # decimal -> double goes through VARCHAR: DuckDB's direct decimal cast
+    # converts the backing hugeint and the 10^scale divisor separately (two
+    # roundings), which lands 1 ulp off the correctly-rounded double once
+    # value * 10^scale exceeds 2^53 (first bites sum_charge at sf1).  The
+    # string path is strtod — correctly rounded, matching Spark's
+    # BigDecimal.doubleValue.  Exact-preserving at every smaller sf.
     return """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
            (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) *
-           (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   count(*) AS cnt
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -621,9 +636,10 @@ GROUP BY 1, 2
 
 
 def o_revenue_by_nation() -> str:
+    # VARCHAR-routed decimal cast: see o_pricing_summary
     return """
 SELECT n_name,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
   count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -646,7 +662,7 @@ FROM (
 def o_events_hourly() -> str:
     return """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
-  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1425,7 +1441,7 @@ def o_events_cube() -> str:
 SELECT date_trunc('hour', ts) AS hour, event_type,
   CAST(GROUPING(date_trunc('hour', ts), event_type) AS BIGINT) AS gid,
   count(*) AS cnt,
-  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CUBE(date_trunc('hour', ts), event_type)
 """

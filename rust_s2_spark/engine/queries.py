@@ -324,10 +324,10 @@ def _clustered_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@functools.cache
-def _merged_cap_ranges() -> tuple[tuple[int, int], ...]:
-    """The cap coverings' leaf ranges, sorted and merged (disjoint)."""
-    spans = sorted((r[3], r[4]) for r in _cap_cov_rows())
+@functools.lru_cache(maxsize=None)
+def _merged_ranges(cov_rows: tuple) -> tuple[tuple[int, int], ...]:
+    """A covering's leaf ranges, sorted and merged (disjoint)."""
+    spans = sorted((r[3], r[4]) for r in cov_rows)
     merged = [list(spans[0])]
     for lo, hi in spans[1:]:
         if lo <= merged[-1][1] + 1:
@@ -335,6 +335,31 @@ def _merged_cap_ranges() -> tuple[tuple[int, int], ...]:
         else:
             merged.append([lo, hi])
     return tuple((lo, hi) for lo, hi in merged)
+
+
+def _clustered_scan(spark: SparkSession, sf_dir: str, cov_rows) -> DataFrame:
+    """THE default docs side for spatial queries: the Hilbert-clustered
+    events table with the covering's merged leaf ranges pushed into the
+    scan as ``cell_id BETWEEN`` filters.  On the cell_id-sorted layout
+    every row group covers a compact curve interval, so parquet footer
+    stats prune all but the touched groups before a data page is read.
+    Lossless prefilter: a doc can only match a covering cell if its leaf
+    id lies in that cell's [range_min, range_max].  One parsed SQL
+    fragment (not ~60 chained Column ops -> py4j round trips); the scan
+    plan object is memoized so re-invocations skip the parquet re-listing.
+    """
+    ckey = ("clustered_scan", spark.sparkContext.applicationId, sf_dir, None)
+    docs = _READ_CACHE.get(ckey)
+    if docs is None:
+        docs = spark.read.parquet(_clustered_events_path(spark, sf_dir))
+        _READ_CACHE[ckey] = docs
+    pred = F.expr(
+        " OR ".join(
+            f"cell_id BETWEEN {lo}L AND {hi}L"
+            for lo, hi in _merged_ranges(tuple(cov_rows))
+        )
+    )
+    return docs.where(pred)
 
 
 def q_cap_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,31 +375,24 @@ def q_cap_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless: a doc can only match a covering cell if its leaf id lies in
     that cell's [range_min, range_max].
     """
-    # memoized plan object: re-invocations skip the parquet re-listing
-    ckey = ("clustered_scan", spark.sparkContext.applicationId, sf_dir, None)
-    docs = _READ_CACHE.get(ckey)
-    if docs is None:
-        docs = spark.read.parquet(_clustered_events_path(spark, sf_dir))
-        _READ_CACHE[ckey] = docs
-    # one parsed SQL fragment (not ~60 chained Column ops -> py4j round trips)
-    pred = F.expr(
-        " OR ".join(
-            f"cell_id BETWEEN {lo}L AND {hi}L" for lo, hi in _merged_cap_ranges()
-        )
-    )
+    docs = _clustered_scan(spark, sf_dir, _cap_cov_rows())
     regions, coverings, levels = _cap_setup(spark)
-    out = cap_join(docs.where(pred), regions, coverings, id_col="event_id", levels=levels)
+    out = cap_join(docs, regions, coverings, id_col="event_id", levels=levels)
     return out.select("region_id", "event_id")
 
 
 def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lat/lng-rect containment join incl. an antimeridian-crossing rect."""
-    docs = events_geo(spark, sf_dir)
+    """Lat/lng-rect containment join incl. an antimeridian-crossing rect.
+
+    Docs side is the clustered scan (the default spatial path): covering →
+    merged ``cell_id BETWEEN`` ranges pushed into the sorted layout →
+    row-group pruning → equi-join → exact refine."""
+    cov_rows = _rect_cov_rows()
+    docs = _clustered_scan(spark, sf_dir, cov_rows)
     regions = spark.createDataFrame(
         list(specs.RECTS),
         "region_id string, lat_lo double, lng_lo double, lat_hi double, lng_hi double",
     )
-    cov_rows = _rect_cov_rows()
     coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
     levels = sorted({r[2] for r in cov_rows})
     out = rect_join(docs, regions, coverings, id_col="event_id", levels=levels)
@@ -462,10 +480,12 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon join: covering prefilter + crossing-number PIP kernel.
 
     Oracle uses an independent method (convex edge-sign tests); points within
-    PIP_MARGIN of any edge plane are excluded on both sides.
+    PIP_MARGIN of any edge plane are excluded on both sides.  The coarse
+    phase reads the clustered scan (the default spatial path) with the
+    loop coverings' merged ranges pushed into the sorted layout.
     """
-    docs = events_geo(spark, sf_dir)
     verts, cov_rows = _loop_setup()
+    docs = _clustered_scan(spark, sf_dir, cov_rows)
     coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
     levels = sorted({r[2] for r in cov_rows})
     coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
@@ -1415,10 +1435,13 @@ def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal stub: media spans -> deterministic fake decode features.
+    """Multimodal decode: media spans -> blob bytes -> parsed header features.
 
-    Real Spark plumbing (mapInPandas over binary refs, typed schema); the
-    decoder itself is a deterministic stand-in (no image libs in container).
+    The blob column is a deterministic fixture (structurally real PNG/JPEG
+    byte streams — no media ships in the testdata), but the decoder is an
+    honest header parser (PNG IHDR fields, JPEG SOF segment walk) that
+    computes every feature FROM THE BYTES and works on real files (see
+    engine/multimodal.py + tests/test_multimodal.py).
     """
     from .multimodal import decode_media_features
 
@@ -1832,7 +1855,34 @@ def _embed_setup(spark: SparkSession, sf_dir: str, tau: float, k: int | None = N
 _EMBED_CACHE: dict[tuple[str, str, float, int | None], tuple[DataFrame, DataFrame]] = {}
 
 
-def q_embed_dedup(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+def _block_sim_matrix(ma: np.ndarray, mb: np.ndarray, exact_fold: bool = True) -> np.ndarray:
+    """Block cosine-similarity matrix, two interchangeable kernels.
+
+    exact_fold=True (default): dimension-order accumulation — entry-wise
+    bit-identical to the oracle's sequential fold, ~d passes over the block.
+    exact_fold=False: ONE BLAS matmul + einsum norms — ~d-fold fewer memory
+    passes, within ~1e-15 of the fold (different summation order only).
+    The fold stays default because the correctness gate hashes exact
+    doubles; flip to BLAS if the gate ever moves to a tolerance
+    (equivalence pinned by tests/test_embed_dedup_k.py)."""
+    if exact_fold:
+        acc = np.zeros((len(ma), len(mb)))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(mb))
+        for d in range(ma.shape[1]):
+            acc += np.outer(ma[:, d], mb[:, d])
+            na += ma[:, d] * ma[:, d]
+            nb += mb[:, d] * mb[:, d]
+    else:
+        acc = ma @ mb.T
+        na = np.einsum("ij,ij->i", ma, ma)
+        nb = np.einsum("ij,ij->i", mb, mb)
+    return acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+
+
+def q_embed_dedup(
+    spark: SparkSession, sf_dir: str, k: int | None = None, blas: bool | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — EXACT block-pair join.
 
     Scale design (no crossJoin, no per-pair Python):
@@ -1854,6 +1904,11 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str, k: int | None = None) -> Dat
     degree), never O(n^2).
     """
     tau = float(specs.EMBED_DEDUP_TAU)
+    if blas is None:
+        import os
+
+        blas = os.environ.get("SPARK_GRAFT_EMBED_BLAS", "0") == "1"
+    exact_fold = not blas
     homes, pairs_long = _embed_setup(spark, sf_dir, tau, k)
     rep = homes.join(F.broadcast(pairs_long), on="bucket")
 
@@ -1870,16 +1925,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str, k: int | None = None) -> Dat
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "sim": "float64"}
             )
-        # dimension-order accumulation == the oracle's sequential fold,
-        # entry-wise, while staying dense-vectorized across the block
-        acc = np.zeros((len(ma), len(mb)))
-        na = np.zeros(len(ma))
-        nb = np.zeros(len(mb))
-        for d in range(ma.shape[1]):
-            acc += np.outer(ma[:, d], mb[:, d])
-            na += ma[:, d] * ma[:, d]
-            nb += mb[:, d] * mb[:, d]
-        sim = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        sim = _block_sim_matrix(ma, mb, exact_fold=exact_fold)
         ia, ib = np.nonzero(sim >= tau)
         id_a, id_b = ids_a[ia], ids_b[ib]
         lo = np.minimum(id_a, id_b)

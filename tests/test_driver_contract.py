@@ -1,7 +1,7 @@
 """Driver-contract invariants: queries()/oracle_sql() alignment + a fast
 end-to-end oracle comparison at sf0.001 for representative queries.
 
-The full 45-query comparison lives in tools/check_oracles.py (run at sf0.01);
+The full all-query comparison lives in tools/check_oracles.py (run at sf0.01);
 here we keep a cheap always-on slice so regressions surface in pytest.
 """
 

@@ -108,7 +108,8 @@ def test_cap_join_clustered_prunes_and_matches(spark, tmp_path):
     pushes its cell_id range disjunction into the parquet scan, and the
     sorted layout means only a small fraction of row groups can match."""
     from rust_s2_spark.engine.queries import (
-        _merged_cap_ranges,
+        _cap_cov_rows,
+        _merged_ranges,
         q_cap_join,
         q_cap_join_clustered,
     )
@@ -126,7 +127,7 @@ def test_cap_join_clustered_prunes_and_matches(spark, tmp_path):
     # touch a small minority of sorted groups but ~every random-layout group
     from rust_s2_spark.engine.queries import events_geo
 
-    ranges = _merged_cap_ranges()
+    ranges = _merged_ranges(tuple(_cap_cov_rows()))
     df01 = events_geo(spark, "/root/testdata/sf0.01").select("event_id", "cell_id")
     c01, u01 = str(tmp_path / "c01"), str(tmp_path / "u01")
     write_clustered(df01, c01, n_files=4, rows_per_group=128, bytes_per_row_hint=16)
@@ -143,3 +144,22 @@ def test_cap_join_clustered_prunes_and_matches(spark, tmp_path):
 
     assert frac_touched(c01) <= 0.25, "clustered layout should skip most groups"
     assert frac_touched(u01) >= 0.9, "random layout touches ~every group"
+
+
+def test_rect_pip_join_use_clustered_scan(spark):
+    """The clustered scan is the DEFAULT spatial docs side: rect and pip
+    joins read the sorted layout with their coverings' merged cell_id
+    ranges pushed into the parquet scan."""
+    from rust_s2_spark.engine.queries import q_pip_join, q_rect_join
+
+    for q in (q_rect_join, q_pip_join):
+        df = q(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        scan = next(
+            s for s in plan.split("\n\n") if "PushedFilters" in s and "cell_id" in s
+        )
+        assert "GreaterThanOrEqual(cell_id" in scan
+        assert "LessThanOrEqual(cell_id" in scan
+        assert "events_geo" in scan  # the clustered materialization path

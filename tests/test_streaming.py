@@ -228,3 +228,55 @@ def test_stream_checkpoint_recovery(spark, tmp_path):
     assert len(ids) >= 900, "expected several batches across both runs"
     # exactly-once: dense id range with no duplicates and no holes
     assert ids == list(range(len(ids)))
+
+
+def test_streaming_throughput_floor(spark):
+    """Regression canary with a FLOOR: a stateful-operator regression that
+    halves the drain rate must fail loudly, not silently.  The bench
+    measures ~80k rows/s (tile counts) and ~150k rows/s (attribution) on
+    local[32]; this test runs local[4], so the floor is set generously at
+    10k rows/s — an order of magnitude of headroom against scheduler noise,
+    tight enough to catch a per-row-Python or state-store blowup."""
+    import json as _json
+    import time
+
+    from rust_s2_spark.engine.streaming import stream_attribution
+
+    def _rows(q):
+        total = 0
+        for p in q.recentProgress:
+            if isinstance(p, str):
+                p = _json.loads(p)
+            total += int(p.get("numInputRows", 0))
+        return total
+
+    def drain_tiles(tag):
+        t0 = time.time()
+        q = streaming.run_stream_to_memory(
+            spark, rows_per_batch=100_000, tile_level=6, query_name=f"floor_t_{tag}"
+        )
+        dt = time.time() - t0
+        rows = _rows(q)
+        spark.catalog.dropTempView(f"floor_t_{tag}")
+        return rows, dt
+
+    def drain_attr(tag):
+        t0 = time.time()
+        q = (
+            stream_attribution(spark, rows_per_batch=100_000)
+            .writeStream.format("memory")
+            .queryName(f"floor_a_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dt = time.time() - t0
+        rows = _rows(q)
+        spark.catalog.dropTempView(f"floor_a_{tag}")
+        return rows, dt
+
+    for drain in (drain_tiles, drain_attr):
+        drain("warmup")  # stream startup + state-store init, untimed
+        best = max(r / s for r, s in (drain(i) for i in range(2)))
+        assert best >= 10_000, f"{drain.__name__}: {best:.0f} rows/s under floor"
