@@ -2185,8 +2185,8 @@ def q_s2_vectorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("lng") < F.lit(lng_hi))
             )
             .select(tiling.parent_col("cell_id", lvl).alias("tile"))
-            .distinct()
         )
+        # no .distinct() here: dilate_tiles dedups its input (one shuffle)
         return dilate_tiles(base, lvl)
 
     # mask + stitched rings are the materialized-index analog (the simhash
