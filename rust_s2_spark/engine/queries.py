@@ -2195,7 +2195,12 @@ def q_s2_vectorize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pays the full stitch honestly
     mask = _aux_persisted(spark, sf_dir, "vdist_mask", build_mask)
     rings = _aux_persisted(
-        spark, sf_dir, "vdist_rings", lambda: boundary_rings(spark, mask, lvl)
+        spark,
+        sf_dir,
+        "vdist_rings",
+        lambda: boundary_rings(
+            spark, mask, lvl, blocks_level=specs.VECTORIZE_DIST_BLOCKS
+        ),
     )
     scale = F.lit(specs.VECTORIZE_DIST_SCALE)
 

@@ -247,6 +247,9 @@ VECTORIZE_VARIANTS = (("occ", 4, False), ("hot", 5, True))
 VECTORIZE_DIST_LEVEL = 11
 VECTORIZE_DIST_BOX = (20.0, 60.0, -40.0, 40.0)  # lat_lo, lat_hi, lng_lo, lng_hi
 VECTORIZE_DIST_SCALE = 1000000000.0
+# sub-face stitch partitioning: 6*4^B groups instead of 6 (the ring output
+# is invariant to B — tests prove identity across block levels)
+VECTORIZE_DIST_BLOCKS = 4
 
 # Cube-face edge-adjacency transforms for level-L tiles in (face, ti, tj)
 # coordinates, with n = 2^L.  For a tile whose edge-neighbor step leaves

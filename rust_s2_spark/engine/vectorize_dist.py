@@ -9,12 +9,15 @@ perimeter-proportional step distributed:
      LEFT ANTI join against the mask (no geometry yet — pure cellid math);
   2. edge geometry: corners via the kernel's shared batched_cell_corners
      (bit-identical corner keys by construction);
-  3. per-face stitch: groupBy(face).applyInPandas — the kernel's canonical
-     per-node matching (match_ins_to_outs) applied at every node strictly
-     INSIDE the face, yielding (a) rings whose cycle never touches a
-     face border and (b) open CHAINS cut at face-border nodes.  Border
-     nodes are cut points because the matching needs ALL edges at a node,
-     and a border node's edges can live on two faces;
+  3. partitioned stitch: groupBy(face, block).applyInPandas — the kernel's
+     canonical per-node matching (match_ins_to_outs) applied at every node
+     strictly INSIDE the stitch group, yielding (a) rings whose cycle never
+     touches a group border and (b) open CHAINS cut at border nodes.
+     Border nodes are cut points because the matching needs ALL edges at a
+     node, and a border node's edges can live in two groups.  The group is
+     the face alone (blocks_level=None, 6 groups) or the face's level-B
+     blocks (6*4^B groups — the stitch parallelism ceiling is a knob, not
+     a constant; the ring output is invariant to B);
   4. driver linking: only the chain ENDPOINT summaries come to the driver
      (O(chains), not O(perimeter)); the SAME canonical matching pairs
      chains at border nodes and links the cycles;
@@ -42,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel import hierarchy as h
+from ..kernel import hilbert
 from ..kernel.vectorize import (
     batched_cell_corners,
     match_ins_to_outs,
@@ -49,7 +53,7 @@ from ..kernel.vectorize import (
 )
 
 _GEOM_SCHEMA = (
-    "face int, skey string, ekey string, s_border boolean, e_border boolean, "
+    "face int, blk long, skey string, ekey string, s_border boolean, e_border boolean, "
     "ax double, ay double, az double, bx double, by double, bz double"
 )
 
@@ -122,9 +126,26 @@ def _boundary_edges(tiles_df: DataFrame) -> DataFrame:
     return cand.join(inside, on="nbr", how="left_anti").select("tile", "k")
 
 
-def _edge_geometry(bd_df: DataFrame, level: int) -> DataFrame:
+def _edge_geometry(
+    bd_df: DataFrame, level: int, blocks_level: int | None = None
+) -> DataFrame:
     """Boundary (tile, k) -> directed edge geometry + corner keys + border
-    flags, batched with the kernel's shared corner math."""
+    flags + stitch-group block id, batched with the kernel's shared corner
+    math.
+
+    blocks_level=None groups by face only (border = face border, the
+    original 6-way decomposition).  With blocks_level=B, each face is
+    subdivided into its 4^B level-B blocks: the stitch group is the edge's
+    OWN tile's block, and a corner counts as border when it lies on any
+    block grid line — ``ij % 2^(30-B) == 0`` on either axis, which exactly
+    subsumes the face border (ij 0 and 2^30 are ≡ 0 mod any power-of-two
+    span, and st_to_uv(0)=-1 / st_to_uv(1)=1 are closed-form exact, so the
+    uv flag and the ij flag agree at face borders bit-for-bit).  The node
+    matching only ever needs all edges AT a node in one group: a corner
+    strictly inside a block has all ≤4 incident cells in that block;
+    anything on a grid line becomes a chain cut the driver links with the
+    same canonical rule — identical machinery, just more (still O(chains))
+    driver summaries in exchange for 6·4^B-way stitch parallelism."""
 
     def geom(batches):
         for pdf in batches:
@@ -134,11 +155,28 @@ def _edge_geometry(bd_df: DataFrame, level: int) -> DataFrame:
             k = pdf["k"].to_numpy(dtype=np.int64)
             fi, corners, borders = batched_cell_corners(t.view(np.uint64), level)
             rows = np.arange(len(t))
+            if blocks_level is not None:
+                _, i, j, _ = hilbert.cellid_to_face_ij_orientation(t.view(np.uint64))
+                cs = np.int64(h.size_ij(level))
+                i_lo = i.astype(np.int64) & -cs
+                j_lo = j.astype(np.int64) & -cs
+                shift_b = np.int64(30 - blocks_level)
+                span = np.int64(1) << shift_b
+                # corner ij coordinates, CCW from the lo corner (kernel order)
+                ci = np.stack([i_lo, i_lo + cs, i_lo + cs, i_lo], axis=1)
+                cj = np.stack([j_lo, j_lo, j_lo + cs, j_lo + cs], axis=1)
+                borders = ((ci % span) == 0) | ((cj % span) == 0)
+                blk = ((i_lo >> shift_b) << np.int64(blocks_level)) + (
+                    j_lo >> shift_b
+                )
+            else:
+                blk = np.zeros(len(t), dtype=np.int64)
             a = corners[rows, k]
             b = corners[rows, (k + 1) & 3]
             yield pd.DataFrame(
                 {
                     "face": fi.astype(np.int32),
+                    "blk": blk,
                     "skey": [_key_str(p) for p in a],
                     "ekey": [_key_str(p) for p in b],
                     "s_border": borders[rows, k],
@@ -412,7 +450,12 @@ def _apply_pinches(rings: list, pinches: list) -> list:
     return rings
 
 
-def boundary_rings(spark: SparkSession, tiles_df: DataFrame, level: int) -> DataFrame:
+def boundary_rings(
+    spark: SparkSession,
+    tiles_df: DataFrame,
+    level: int,
+    blocks_level: int | None = None,
+) -> DataFrame:
     """Distributed boundary rings of a uniform level-``level`` tile mask.
 
     ``tiles_df`` needs a ``tile`` column (signed cellid bigints, all at
@@ -422,9 +465,19 @@ def boundary_rings(spark: SparkSession, tiles_df: DataFrame, level: int) -> Data
     included).  Vertex rotation is deterministic: interior rings start at
     their smallest corner key; chain-assembled rings at a deterministic
     chain cut (ring ids are unique, stable identifiers, not geometric
-    keys)."""
-    geom = _edge_geometry(_boundary_edges(tiles_df), level)
-    stitched = geom.groupBy("face").applyInPandas(
+    keys).
+
+    ``blocks_level`` (None = per-face stitch, 6 groups) subdivides each
+    face into 4^B level-B blocks and stitches per (face, block), lifting
+    the stitch parallelism ceiling from 6 to 6·4^B tasks; the ring output
+    is invariant to the choice (chains cut at block grid lines are linked
+    by the same canonical matching, tests prove identity across B)."""
+    if blocks_level is not None and not (1 <= blocks_level <= level):
+        # block grid must be no finer than the cell grid: a block line
+        # through a cell's interior would put one edge in two groups
+        raise ValueError(f"blocks_level must be in [1, {level}], got {blocks_level}")
+    geom = _edge_geometry(_boundary_edges(tiles_df), level, blocks_level)
+    stitched = geom.groupBy("face", "blk").applyInPandas(
         _stitch_face, schema=_STITCH_SCHEMA
     ).persist()
     try:

@@ -216,3 +216,48 @@ def test_vectorize_dist_query_vs_numpy(spark):
     assert row["n_cells"] == len(mask)
     assert row["n_vertices"] == int(outside.sum()) > 0
     assert (row["sx"], row["sy"], row["sz"]) == tuple(scaled.sum(axis=0))
+
+
+@pytest.mark.parametrize("blocks_level", [1, 3, 4])
+def test_block_partitioned_stitch_matches_kernel(spark, blocks_level):
+    """Sub-face block partitioning (the 6·4^B-way parallel stitch) is
+    ring-for-ring identical to the kernel on a dense pinch-heavy mask —
+    including B == cell level, the all-chains extreme where EVERY node is
+    a driver-linked cut point."""
+    mask = _mask_from_points(38, 1500, 4)
+    df = spark.createDataFrame(
+        [(int(np.int64(np.uint64(x))),) for x in mask], "tile long"
+    )
+    rows = boundary_rings(spark, df, 4, blocks_level=blocks_level).collect()
+    by_ring: dict = {}
+    for r in rows:
+        by_ring.setdefault(r["ring_id"], []).append(r)
+    got = set()
+    for rid, vs in by_ring.items():
+        vs.sort(key=lambda r: r["seq"])
+        assert [r["seq"] for r in vs] == list(range(len(vs))), rid
+        got.add(_canon([(r["x"], r["y"], r["z"]) for r in vs]))
+    assert got == _kernel_rings(mask, 4)
+
+
+def test_block_partitioned_cross_face_and_covering(spark):
+    """Blocks + cross-face chains together: the 30° cap covering at level 8
+    (thousands of cells across several faces) with a block grid that cuts
+    rings at BOTH face borders and block lines."""
+    cap = Cap.from_latlng_radius(35.0, -40.0, 30.0)
+    cu = RegionCoverer(max_cells=100_000, min_level=8, max_level=8).covering(cap)
+    flat = CellUnion(list(cu.ids))
+    flat.denormalize(8, 1)
+    mask = np.array(sorted(int(np.uint64(c)) for c in flat.ids), dtype=np.uint64)
+    df = spark.createDataFrame(
+        [(int(np.int64(x)),) for x in mask], "tile long"
+    )
+    rows = boundary_rings(spark, df, 8, blocks_level=3).collect()
+    by_ring: dict = {}
+    for r in rows:
+        by_ring.setdefault(r["ring_id"], []).append(r)
+    got = {
+        _canon([(r["x"], r["y"], r["z"]) for r in sorted(vs, key=lambda r: r["seq"])])
+        for vs in by_ring.values()
+    }
+    assert got == _kernel_rings(mask, 8)
