@@ -17,6 +17,7 @@ CASES = [
     "dedup_exact",
     "events_cube",
     "s2_vectorize",
+    "s2_vectorize_dist",
     "s2_cap_join",
 ]
 
