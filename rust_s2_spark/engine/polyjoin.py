@@ -83,8 +83,36 @@ def broadcast_memo_key(spark: SparkSession, bc) -> tuple:
     return (spark.sparkContext.applicationId, bc._jbroadcast.id())
 
 
-def _pip_refine_udf(spark: SparkSession, verts: dict[str, np.ndarray]):
-    bc = spark.sparkContext.broadcast({k: v.copy() for k, v in verts.items()})
+# Driver-side memo of broadcasts whose payload is a pure function of a tag
+# (spec constants, or data identified by the tag itself, e.g. an sf_dir).
+_BC_CACHE: dict[tuple, object] = {}
+
+
+def session_broadcast(spark: SparkSession, tag: tuple | str, make):
+    """ONE broadcast per (SparkContext, tag), built lazily via ``make()``.
+
+    Re-invoking a query used to re-pickle + re-ship its broadcast payload
+    and — because the executor memos key on the broadcast id — rebuild the
+    executor-side objects (Loop edge indexes, Polygon nesting) on every
+    warm run.  Deterministic payloads (spec polygons, per-dataset
+    centroids) get a stable tag instead, so warm runs reuse both the
+    shipped blocks and the executor memos.  The tag must fully identify
+    the payload: include the sf_dir for data-derived payloads.
+    """
+    key = (spark.sparkContext.applicationId, tag)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        _BC_CACHE[key] = bc = spark.sparkContext.broadcast(make())
+    return bc
+
+
+def _pip_refine_udf(spark: SparkSession, verts: dict[str, np.ndarray], tag: str | None = None):
+    if tag is not None:
+        bc = session_broadcast(
+            spark, ("pip_refine", tag), lambda: {k: v.copy() for k, v in verts.items()}
+        )
+    else:
+        bc = spark.sparkContext.broadcast({k: v.copy() for k, v in verts.items()})
     key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
@@ -132,12 +160,19 @@ def loop_join(
 _POLY_CACHE: dict[tuple, object] = {}
 
 
-def nested_polygon_refine_udf(spark: SparkSession, rings: list[np.ndarray]):
+def nested_polygon_refine_udf(
+    spark: SparkSession, rings: list[np.ndarray], tag: str | None = None
+):
     """Vectorized parity PIP over a nested loop hierarchy: the Polygon is
     rebuilt once per executor from broadcast ring arrays (depths inferred
     via contains_nested, polygon.rs:218-346), then contains_points runs the
     crossing-number kernel per loop and XORs parities per Arrow batch."""
-    bc = spark.sparkContext.broadcast([r.copy() for r in rings])
+    if tag is not None:
+        bc = session_broadcast(
+            spark, ("nested_refine", tag), lambda: [r.copy() for r in rings]
+        )
+    else:
+        bc = spark.sparkContext.broadcast([r.copy() for r in rings])
     key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")

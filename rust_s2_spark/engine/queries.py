@@ -26,7 +26,7 @@ from ..kernel.covering import RegionCoverer
 from ..kernel.region import Cap, Rect
 from . import specs, tiling
 from .join import cap_join, rect_join, covering_join
-from .polyjoin import broadcast_memo_key, loop_join, loop_regions
+from .polyjoin import broadcast_memo_key, loop_join, loop_regions, session_broadcast
 from ..kernel import hierarchy as h
 
 # ---------------------------------------------------------------------------
@@ -493,7 +493,9 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .polyjoin import _pip_refine_udf
 
     refined = coarse.where(
-        _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
+        _pip_refine_udf(spark, verts, tag="loops")(
+            F.col("region_id"), F.col("lat"), F.col("lng")
+        )
     )
     return refined.select("region_id", "event_id")
 
@@ -553,7 +555,7 @@ def q_poly_nested_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in specs.NESTED_RINGS
     ]
     refined = coarse.where(
-        nested_polygon_refine_udf(spark, rings)(F.col("lat"), F.col("lng"))
+        nested_polygon_refine_udf(spark, rings, tag="nested")(F.col("lat"), F.col("lng"))
     )
     return refined.select("region_id", "event_id")
 
@@ -579,7 +581,9 @@ def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .polyjoin import _pip_refine_udf, nested_polygon_refine_udf
 
     flat = coarse.where(
-        _pip_refine_udf(spark, verts)(F.col("region_id"), F.col("lat"), F.col("lng"))
+        _pip_refine_udf(spark, verts, tag="loops")(
+            F.col("region_id"), F.col("lat"), F.col("lng")
+        )
     ).select("region_id", "event_id")
 
     _, ncov = _nested_setup()
@@ -593,7 +597,11 @@ def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     nested = (
         ncoarse.where(ok)
-        .where(nested_polygon_refine_udf(spark, rings)(F.col("lat"), F.col("lng")))
+        .where(
+            nested_polygon_refine_udf(spark, rings, tag="nested")(
+                F.col("lat"), F.col("lng")
+            )
+        )
         .select("region_id", "event_id")
     )
     hits = flat.unionByName(nested)
@@ -708,7 +716,9 @@ def q_coastline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's SQL exactly.
     n = len(verts)
     crosses = np.cross(verts, np.roll(verts, -1, axis=0))
-    bc = spark.sparkContext.broadcast((verts.copy(), crosses.copy()))
+    bc = session_broadcast(
+        spark, "coastline_refine", lambda: (verts.copy(), crosses.copy())
+    )
     key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
@@ -757,7 +767,7 @@ def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rid: [(lp.vertices.copy(), lp.depth) for lp in p.loops]
         for rid, p in polys.items()
     }
-    bc = spark.sparkContext.broadcast(payload)
+    bc = session_broadcast(spark, "overlay_refine", lambda: payload)
     key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")
@@ -1690,10 +1700,11 @@ def q_segment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..kernel import edgeutil as eu
 
-    segs = [
-        (np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()
-    ]
-    bc = spark.sparkContext.broadcast(segs)
+    bc = session_broadcast(
+        spark,
+        "polyline_segs",
+        lambda: [(np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()],
+    )
 
     @pandas_udf("double")
     def _dist(lat: pd.Series, lng: pd.Series) -> pd.Series:
@@ -1726,12 +1737,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = _read(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
-    )
-    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast(cents)
+
+    def _cents():
+        cent_rows = (
+            emb.where(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        return cents
+
+    # tag carries sf_dir: the payload is data-derived, one memo per dataset
+    bc = session_broadcast(spark, ("ivf_centroids", sf_dir), _cents)
 
     @pandas_udf("int")
     def _bucket(e: pd.Series) -> pd.Series:
@@ -2260,8 +2279,11 @@ def q_polyline_buffer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a point can fall in several segments' coverings -> dedupe before refine
     cand = cand.select("event_id", "lat", "lng").dropDuplicates(["event_id"])
 
-    segs = [(np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()]
-    bc = spark.sparkContext.broadcast(segs)
+    bc = session_broadcast(
+        spark,
+        "polyline_segs",
+        lambda: [(np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()],
+    )
     s = math.sin(0.5 * math.radians(specs.POLYLINE_BUFFER_DEG))
     thresh = 4.0 * s * s
 

@@ -31,3 +31,37 @@ def test_repeat_invocations_do_not_stack_persists(spark):
     # and the reclamation hook still releases everything it tracked
     Q.clear_geo_cache()
     assert len(Q._AUX_CACHE) == 0 and len(Q._KNN_RESULT_CACHE) == 0
+
+
+def test_session_broadcast_builds_once_per_tag(spark):
+    from rust_s2_spark.engine import polyjoin as pj
+
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return {"payload": calls["n"]}
+
+    b1 = pj.session_broadcast(spark, ("test_tag", "a"), make)
+    b2 = pj.session_broadcast(spark, ("test_tag", "a"), make)
+    b3 = pj.session_broadcast(spark, ("test_tag", "b"), make)
+    assert b1 is b2  # same tag -> same Broadcast object, make() not re-run
+    assert calls["n"] == 2  # once per distinct tag
+    assert b3 is not b1
+    assert pj.broadcast_memo_key(spark, b1) == pj.broadcast_memo_key(spark, b2)
+    assert pj.broadcast_memo_key(spark, b3) != pj.broadcast_memo_key(spark, b1)
+
+
+def test_tagged_queries_reuse_broadcasts_across_warm_runs(spark):
+    from rust_s2_spark.engine import polyjoin as pj
+
+    Q.q_pip_join(spark, SF).count()
+    Q.q_poly_nested_join(spark, SF).count()
+    Q.q_coastline_join(spark, SF).count()
+    base = len(pj._BC_CACHE)
+    for _ in range(2):
+        Q.q_pip_join(spark, SF).count()
+        Q.q_poly_nested_join(spark, SF).count()
+        Q.q_coastline_join(spark, SF).count()
+    # warm re-runs ship nothing new: the broadcast memo is stable
+    assert len(pj._BC_CACHE) == base
