@@ -99,11 +99,31 @@ def session_broadcast(spark: SparkSession, tag: tuple | str, make):
     shipped blocks and the executor memos.  The tag must fully identify
     the payload: include the sf_dir for data-derived payloads.
     """
-    key = (spark.sparkContext.applicationId, tag)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, tag)
     bc = _BC_CACHE.get(key)
     if bc is None:
+        # drop entries from stopped contexts: their broadcasts can't be
+        # reclaimed through Spark anymore, but releasing the references
+        # lets the driver-side payloads be GC'd
+        for k in [k for k in _BC_CACHE if k[0] != app_id]:
+            del _BC_CACHE[k]
         _BC_CACHE[key] = bc = spark.sparkContext.broadcast(make())
     return bc
+
+
+def clear_session_broadcasts() -> None:
+    """Unpersist + drop every memoized session broadcast (reclamation hook,
+    called from queries.clear_geo_cache): data-derived payloads (e.g. IVF
+    centroids tagged by sf_dir) must be rebuilt from the — possibly
+    rewritten — source after a clear, same contract as the clustered-table
+    and file-listing memos."""
+    for bc in _BC_CACHE.values():
+        try:
+            bc.unpersist()
+        except Exception:
+            pass
+    _BC_CACHE.clear()
 
 
 def _pip_refine_udf(spark: SparkSession, verts: dict[str, np.ndarray], tag: str | None = None):

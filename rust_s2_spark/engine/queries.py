@@ -138,6 +138,11 @@ def clear_geo_cache() -> None:
     # clear it must be rebuilt from the (possibly rewritten) source, not
     # served stale
     _CLUSTERED_PATHS.clear()
+    # session broadcasts: same contract — the data-derived payloads
+    # (ivf_centroids) must come back from the rewritten source
+    from .polyjoin import clear_session_broadcasts
+
+    clear_session_broadcasts()
 
 
 # Query-scoped persisted intermediates (e.g. embed_dedup's homes table)
@@ -714,10 +719,10 @@ def q_coastline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests are a single 512x3 @ 3xm numpy matmul over the (tiny,
     # covering-pruned) candidate batch.  3-term dot order matches the
     # oracle's SQL exactly.
-    n = len(verts)
-    crosses = np.cross(verts, np.roll(verts, -1, axis=0))
     bc = session_broadcast(
-        spark, "coastline_refine", lambda: (verts.copy(), crosses.copy())
+        spark,
+        "coastline_refine",
+        lambda: (verts.copy(), np.cross(verts, np.roll(verts, -1, axis=0))),
     )
     key = broadcast_memo_key(spark, bc)
 
@@ -762,12 +767,16 @@ def q_poly_overlay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = coarse.where(ok)
 
     # ship the overlay polygons' loop vertex arrays + depths; rebuild once
-    # per executor (Polygon precompute memoized)
-    payload = {
-        rid: [(lp.vertices.copy(), lp.depth) for lp in p.loops]
-        for rid, p in polys.items()
-    }
-    bc = session_broadcast(spark, "overlay_refine", lambda: payload)
+    # per executor (Polygon precompute memoized); built inside make() so a
+    # warm cache hit skips the copies entirely
+    bc = session_broadcast(
+        spark,
+        "overlay_refine",
+        lambda: {
+            rid: [(lp.vertices.copy(), lp.depth) for lp in p.loops]
+            for rid, p in polys.items()
+        },
+    )
     key = broadcast_memo_key(spark, bc)
 
     @pandas_udf("boolean")

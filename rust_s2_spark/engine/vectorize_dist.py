@@ -45,7 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel import hierarchy as h
-from ..kernel import hilbert
 from ..kernel.vectorize import (
     batched_cell_corners,
     match_ins_to_outs,
@@ -153,13 +152,13 @@ def _edge_geometry(
                 continue
             t = pdf["tile"].to_numpy(dtype=np.int64)
             k = pdf["k"].to_numpy(dtype=np.int64)
-            fi, corners, borders = batched_cell_corners(t.view(np.uint64), level)
             rows = np.arange(len(t))
             if blocks_level is not None:
-                _, i, j, _ = hilbert.cellid_to_face_ij_orientation(t.view(np.uint64))
+                # one decode: the corner helper already floored (i_lo, j_lo)
+                fi, corners, borders, i_lo, j_lo = batched_cell_corners(
+                    t.view(np.uint64), level, return_ij=True
+                )
                 cs = np.int64(h.size_ij(level))
-                i_lo = i.astype(np.int64) & -cs
-                j_lo = j.astype(np.int64) & -cs
                 shift_b = np.int64(30 - blocks_level)
                 span = np.int64(1) << shift_b
                 # corner ij coordinates, CCW from the lo corner (kernel order)
@@ -170,6 +169,7 @@ def _edge_geometry(
                     j_lo >> shift_b
                 )
             else:
+                fi, corners, borders = batched_cell_corners(t.view(np.uint64), level)
                 blk = np.zeros(len(t), dtype=np.int64)
             a = corners[rows, k]
             b = corners[rows, (k + 1) & 3]

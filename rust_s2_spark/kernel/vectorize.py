@@ -61,12 +61,15 @@ def _turn_ccw(prev_pt: np.ndarray, v: np.ndarray, nxt_pt: np.ndarray) -> float:
     return float(np.arctan2(s, c))
 
 
-def batched_cell_corners(ids_arr: np.ndarray, level: int):
+def batched_cell_corners(ids_arr: np.ndarray, level: int, return_ij: bool = False):
     """Batched Cell.vertex replication for uniform level-``level`` cells:
     (face, corners, border) with corners (n, 4, 3) unit vectors CCW from
     the uv-lo corner and border (n, 4) per-corner face-border flags
     (|u| == 1 or |v| == 1 — exact at the grid extremes: st_to_uv(0) = -1
-    and st_to_uv(1) = 1 are closed-form).
+    and st_to_uv(1) = 1 are closed-form).  ``return_ij=True`` appends the
+    (i_lo, j_lo) leaf-grid corners already computed by the decode, so
+    callers needing ij geometry (the block-partitioned stitcher) don't
+    re-run cellid_to_face_ij_orientation on the same ids.
 
     The math replicates Cell.vertex() op-for-op (ij_level_to_bound_uv ->
     st_to_uv -> face_uv_to_xyz -> normalize), so corner keys stay
@@ -89,7 +92,8 @@ def batched_cell_corners(ids_arr: np.ndarray, level: int):
         nn = np.sqrt(x * x + y * y + z * z)
         corners.append(np.stack([x / nn, y / nn, z / nn], axis=-1))
         borders.append((np.abs(cu_) == 1.0) | (np.abs(cv_) == 1.0))
-    return fi, np.stack(corners, axis=1), np.stack(borders, axis=1)
+    out = (fi, np.stack(corners, axis=1), np.stack(borders, axis=1))
+    return out + (x_lo, y_lo) if return_ij else out
 
 
 def match_ins_to_outs(node_pt: np.ndarray, ins: list, outs: list) -> list:

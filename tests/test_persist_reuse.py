@@ -28,9 +28,15 @@ def test_repeat_invocations_do_not_stack_persists(spark):
     assert r2 is r1  # memoized result, no re-search
     assert _n_persisted(spark) == base_rdds
 
-    # and the reclamation hook still releases everything it tracked
+    # and the reclamation hook still releases everything it tracked,
+    # including the session broadcasts (data-derived payloads like the IVF
+    # centroids must be rebuilt from a possibly-rewritten source after a
+    # clear, not served stale)
+    from rust_s2_spark.engine import polyjoin as pj
+
     Q.clear_geo_cache()
     assert len(Q._AUX_CACHE) == 0 and len(Q._KNN_RESULT_CACHE) == 0
+    assert len(pj._BC_CACHE) == 0
 
 
 def test_session_broadcast_builds_once_per_tag(spark):
