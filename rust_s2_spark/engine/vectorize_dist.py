@@ -524,6 +524,18 @@ def boundary_rings(
         # stage is never recomputed, then release the intermediate (the
         # persist must not outlive this call — the bounded-cache lesson)
         rings = rings.localCheckpoint(eager=True)
+        if not rings.take(1) and tiles_df.select("tile").take(1):
+            # a non-empty uniform mask with NO boundary covers the whole
+            # sphere; a rings DataFrame cannot represent the FULL polygon
+            # (kernel cellunion_boundary returns Loop.full() here) — fail
+            # loudly instead of aliasing full with empty.  The guard's
+            # take(1) on the checkpointed rings is ~free; the second
+            # take(1) runs only on the already-empty path.
+            raise ValueError(
+                "boundary_rings: mask covers the full sphere (no boundary); "
+                "the FULL polygon has no ring representation — handle this "
+                "case before calling (kernel path returns Loop.full())"
+            )
         return rings
     finally:
         stitched.unpersist()

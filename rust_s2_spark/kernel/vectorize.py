@@ -179,6 +179,13 @@ def cellunion_boundary(cu: CellUnion, level: int) -> Polygon:
                 continue
             a, b = verts_all[idx, k], verts_all[idx, (k + 1) & 3]
             edges.append((a, b, _corner_key(a), _corner_key(b)))
+    if not edges:
+        # a NON-EMPTY uniform-level union with zero boundary edges covers
+        # the whole sphere (any proper non-empty subset of the connected
+        # level grid has a boundary): the vectorization is the FULL
+        # polygon (area 4*pi, contains everything), not the empty one —
+        # loop.rs:266-275's full-loop sentinel exists for exactly this
+        return Polygon([Loop.full()], _nested=True)
     # canonical per-node matching -> successor permutation
     ins_by_node: dict[tuple, list] = {}
     outs_by_node: dict[tuple, list] = {}

@@ -86,6 +86,23 @@ def test_empty_union():
     assert cellunion_boundary(CellUnion([]), 5).is_empty()
 
 
+def test_full_sphere_union_is_full_polygon():
+    """A mask covering every cell has no boundary — that is the FULL
+    polygon (area 4*pi, contains everything), not the empty one.  Found by
+    tools/fuzz_kernel.py (seed 14 at level 2): dense random point sets
+    routinely saturate the 96-cell level-2 grid."""
+    import math
+
+    lvl = 2
+    ids = [int(h.from_face_pos_level(f, 0, 0)) for f in range(6)]
+    cu = CellUnion(ids)  # six face cells; denormalize expands to level 2
+    poly = cellunion_boundary(cu, lvl)
+    assert poly.is_full()
+    assert abs(poly.area() - 4 * math.pi) < 1e-12
+    assert poly.contains_point(np.array([0.0, 0.0, 1.0]))
+    assert poly.contains_point(np.array([0.0, 0.0, -1.0]))
+
+
 def test_raster_vector_roundtrip_with_overlay():
     """Loop -> covering (raster) -> boundary polygon (vector) -> overlay
     comparison: the vectorized covering is a superset of the region, and

@@ -142,10 +142,14 @@ def test_degenerate_masks(spark):
     """Full sphere (no boundary at all), a single whole face (level-0 cell:
     every vertex is a cube corner, the ring is pure cross-face chains), and
     a single interior cell."""
-    # full sphere: all six faces at level 0 -> no boundary edges, no rings
+    # full sphere: all six faces at level 0 -> no boundary edges.  Zero
+    # rings would alias FULL with EMPTY (the kernel path returns
+    # Loop.full()); the distributed path must refuse loudly instead of
+    # returning an empty ring set that reads as the empty polygon.
     faces = [int(np.int64(h.from_face(f))) for f in range(6)]
     df = spark.createDataFrame([(t,) for t in faces], "tile long")
-    assert boundary_rings(spark, df, 0).count() == 0
+    with pytest.raises(ValueError, match="full sphere"):
+        boundary_rings(spark, df, 0)
 
     # one whole face: one 4-vertex ring, assembled entirely from chains
     one = np.array([np.uint64(np.int64(faces[2]))], dtype=np.uint64)
@@ -261,3 +265,19 @@ def test_block_partitioned_cross_face_and_covering(spark):
         for vs in by_ring.values()
     }
     assert got == _kernel_rings(mask, 8)
+
+
+def test_full_sphere_mask_raises_loudly(spark):
+    """boundary_rings cannot represent the FULL polygon (a full-sphere mask
+    has no boundary); it must refuse rather than alias full with empty.
+    The kernel path returns Loop.full() for the same input."""
+    lvl = 2
+    ids = []
+    for f in range(6):
+        face = CellUnion([int(h.from_face_pos_level(f, 0, 0))])
+        face.denormalize(lvl, 1)
+        ids.extend(int(np.int64(np.uint64(c))) for c in face.ids)
+    assert len(ids) == 6 * 4**lvl
+    df = spark.createDataFrame([(x,) for x in ids], "tile long")
+    with pytest.raises(ValueError, match="full sphere"):
+        boundary_rings(spark, df, lvl)
