@@ -181,6 +181,26 @@ def loop_overlay(a: Loop, b: Loop, op: str) -> Polygon:
             if op == "intersection":
                 return Polygon([], _nested=True)
             return Polygon.from_loops([a])
+        # complementary overlap: boundaries disjoint, neither loop nests in
+        # the other, yet they intersect.  With disjoint boundaries this
+        # forces comp(B) ⊂ A and comp(A) ⊂ B (each complement is connected
+        # and cannot cross the other's boundary), i.e. A ∪ B is the FULL
+        # sphere and A ∩ B is the band bounded by both circles.  Two 100°
+        # caps around antipodal poles are the canonical instance (found by
+        # fuzzing — previously misdiagnosed as the degenerate
+        # shared-boundary case and rejected).
+        shared = any(
+            np.array_equal(va, vb) for va in a.vertices for vb in b.vertices
+        )
+        if not shared and a.contains_point(b.vertices[0]) and b.contains_point(
+            a.vertices[0]
+        ):
+            if op == "union":
+                return Polygon([Loop.full()], _nested=True)
+            if op == "difference":
+                return Polygon.from_loops([b.invert()])  # A − B = comp(B)
+            # A ∩ B = A minus comp(B): shell a with hole comp(B)
+            return Polygon.from_loops([a, b.invert()])
         raise ValueError("loops share boundary without proper crossings (degenerate)")
     chains = _split_chains(a, b, crossings)
     if op == "union":
@@ -302,6 +322,15 @@ def polygon_overlay(a: Polygon, b: Polygon, op: str) -> Polygon:
             out_loops.append(lb.invert() if rev_b else lb)
     out_loops += _stitch(pieces)
     if not out_loops:
+        if op == "union" and a.loops and b.loops:
+            # every ring of BOTH operands was dropped for lying inside the
+            # other region (no crossings): each polygon's boundary is
+            # interior to the other, so the union covers the sphere —
+            # returning the empty polygon here silently aliased FULL with
+            # EMPTY (same complementary-overlap topology as loop_overlay;
+            # intersection and difference fall out correctly from the
+            # selection rule, union needs the explicit FULL)
+            return Polygon([Loop.full()], _nested=True)
         return Polygon([], _nested=True)
     return Polygon.from_oriented_loops(out_loops)
 

@@ -1506,11 +1506,11 @@ def _edges_cross(a: "Loop", b: "Loop") -> bool:
 
 
 def _rect_is_full(r) -> bool:
-    return (
-        r.lat.lo == -np.pi / 2
-        and r.lat.hi == np.pi / 2
-        and r.lng.is_full()
-    )
+    # SInterval.is_full is a property, not a method: calling it returned a
+    # bound method truthiness bug's cousin (TypeError) on the
+    # union-bound-is-full branch — only reachable when two big loops cover
+    # the sphere between them (found by fuzzing with 100-degree caps)
+    return r.lat.lo == -np.pi / 2 and r.lat.hi == np.pi / 2 and r.lng.is_full
 
 
 def loop_contains_loop(a: "Loop", b: "Loop") -> bool:

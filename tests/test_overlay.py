@@ -269,3 +269,54 @@ def test_polygon_overlay_fuzz_annuli():
         assert abs(d.area() - (a.area() - i.area())) < 1e-10
         checked += 1
     assert checked >= 25
+
+
+def test_complementary_overlap_union_is_full():
+    """Two 100-degree caps around antipodal poles: boundaries are disjoint
+    small circles, NEITHER loop contains the other, yet they intersect —
+    the union is the FULL sphere and the intersection is the equatorial
+    band bounded by both circles.  Previously misdiagnosed as the
+    degenerate shared-boundary case and rejected (and _rect_is_full called
+    the is_full PROPERTY, so the branch TypeError'd before even reaching
+    the diagnosis).  Found by tools/fuzz_kernel.py big-radius seeds."""
+    from rust_s2_spark.kernel.pip import regular_loop
+
+    n, s = np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, -1.0])
+    a = regular_loop(n, math.radians(100), 32)
+    b = regular_loop(s, math.radians(100), 32)
+    u, i, d = _check_pair(a, b, [(la, ln) for la in range(-80, 81, 20) for ln in (0, 90)])
+    assert u.is_full()
+    assert abs(u.area() - 4 * math.pi) < 1e-12
+    assert i.num_loops() == 2  # the band has two boundary circles
+    # A - B = complement of B (everything not in B is in A here)
+    assert abs(d.area() - (4 * math.pi - b.area())) < 1e-12
+
+
+def test_polygon_union_complementary_overlap_is_full():
+    """Same topology at the Polygon level: the per-ring selection rule
+    drops every ring of both operands (each lies inside the other region),
+    which used to return EMPTY for a union that covers the sphere."""
+    from rust_s2_spark.kernel.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+    from rust_s2_spark.kernel.pip import Polygon, regular_loop
+
+    n, s = np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, -1.0])
+    A = Polygon.from_loops([regular_loop(n, math.radians(100), 32)])
+    B = Polygon.from_loops([regular_loop(s, math.radians(100), 32)])
+    u = polygon_union(A, B)
+    i = polygon_intersection(A, B)
+    d = polygon_difference(A, B)
+    assert u.is_full()
+    assert abs(u.area() + i.area() - (A.area() + B.area())) < 1e-12
+    assert abs(d.area() - (A.area() - i.area())) < 1e-12
+    rng = np.random.default_rng(9)
+    for _ in range(100):
+        p = rng.uniform(-1, 1, 3)
+        p /= np.linalg.norm(p)
+        ia, ib = A.contains_point(p), B.contains_point(p)
+        assert u.contains_point(p) == (ia or ib)
+        assert i.contains_point(p) == (ia and ib)
+        assert d.contains_point(p) == (ia and not ib)

@@ -96,14 +96,24 @@ def fuzz_vectorize(rng) -> None:
 
 
 def fuzz_overlay(rng) -> None:
-    lat_a, lng_a = rng.uniform(-60, 60), rng.uniform(-150, 150)
-    ca = _latlng_point(math.radians(lat_a), math.radians(lng_a))
-    cb = _latlng_point(
-        math.radians(lat_a + rng.uniform(-8, 8)),
-        math.radians(lng_a + rng.uniform(-8, 8)),
-    )
-    a = regular_loop(ca, math.radians(rng.uniform(1, 7)), int(rng.integers(6, 24)))
-    b = regular_loop(cb, math.radians(rng.uniform(1, 7)), int(rng.integers(6, 24)))
+    if rng.uniform() < 0.25:
+        # BIG loops, near-antipodal centers: exercises the
+        # complementary-overlap branch (disjoint boundaries, union = FULL
+        # sphere) that small radii can never reach
+        ca = _rand_point(rng)
+        cb = -ca + rng.normal(0.0, 0.15, 3)
+        cb /= np.linalg.norm(cb)
+        ra, rb = rng.uniform(95, 135), rng.uniform(95, 135)
+    else:
+        lat_a, lng_a = rng.uniform(-60, 60), rng.uniform(-150, 150)
+        ca = _latlng_point(math.radians(lat_a), math.radians(lng_a))
+        cb = _latlng_point(
+            math.radians(lat_a + rng.uniform(-8, 8)),
+            math.radians(lng_a + rng.uniform(-8, 8)),
+        )
+        ra, rb = rng.uniform(1, 7), rng.uniform(1, 7)
+    a = regular_loop(ca, math.radians(ra), int(rng.integers(6, 24)))
+    b = regular_loop(cb, math.radians(rb), int(rng.integers(6, 24)))
     try:
         u = loop_union(a, b)
         i = loop_intersection(a, b)
@@ -112,7 +122,7 @@ def fuzz_overlay(rng) -> None:
         return  # degenerate shared-boundary case, legitimately rejected
     assert abs(u.area() + i.area() - (a.area() + b.area())) < 1e-10, "U+I area"
     assert abs(d.area() - (a.area() - i.area())) < 1e-10, "D area"
-    for c in (ca, cb):
+    for c in [ca, cb] + [_rand_point(rng) for _ in range(10)]:
         ia, ib = a.contains_point(c), b.contains_point(c)
         assert u.contains_point(c) == (ia or ib), "union membership"
         assert i.contains_point(c) == (ia and ib), "intersection membership"
