@@ -21,6 +21,28 @@ tests already justify):
              would corrupt every loop relation.
   serde      loop_encode/decode lossless round-trip on random regular
              loops (vertices bit-identical, origin_inside preserved).
+  intersect  robust edge intersection at random crossing angles down to
+             1e-12 rad: exact-arithmetic great-circle distance of the
+             computed point to BOTH edges <= INTERSECTION_ERROR, segment
+             proximity <= 1e-12, angle to the exact intersection <=
+             INTERSECTION_ERROR (tests/test_edge_intersection.py harness,
+             randomized slopes).
+  wraps      Hilbert-curve wrap algebra on random cells at random levels:
+             advance_wrap(x,k) then (x',-k) round-trips, next/prev_wrap
+             are inverses and equal advance_wrap(+-1), a full lap of
+             6*4^level steps is the identity, level is preserved, and
+             advance == advance_wrap when no clamp/wrap applies.
+  polycover  RegionCoverer over multi-loop polygons (shell + hole):
+             covering completeness at annulus samples, hole samples
+             excluded from the region, interior-covering soundness via
+             Polygon.contains_cell.
+  clipface   face_segments chain contract on random sphere edges: first/
+             last endpoints match A/B, consecutive segments share border
+             endpoints, every endpoint lies on the edge's great circle
+             and inside the face square (tests/test_clipping.py).
+  rectdist   Rect.distance_to_latlng_rad: zero iff the rect contains the
+             point, and a true lower bound on the arc distance to every
+             sampled in-rect point.
 
 Usage: python tools/fuzz_kernel.py [--per-family N] [--base-seed B]
 Exit 0 = all seeds clean; any failure prints the family + seed and exits 1.
@@ -270,6 +292,213 @@ def fuzz_edgedist(rng) -> None:
         assert dm >= d - 1e-9, "interior point beats reported min distance"
 
 
+def fuzz_intersect(rng) -> None:
+    from fractions import Fraction as _Fr
+
+    from rust_s2_spark.kernel.edgeutil import distance_from_segment
+    from rust_s2_spark.kernel.pip import (
+        INTERSECTION_ERROR,
+        EdgeCrosser,
+        edge_intersection,
+        intersection_exact,
+    )
+
+    def _n(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    def _ang(p, q):
+        return math.atan2(np.linalg.norm(np.cross(p, q)), float(p @ q))
+
+    def _exact_circle_dist(x, e0, e1):
+        f0 = [_Fr(float(v)) for v in e0]
+        f1 = [_Fr(float(v)) for v in e1]
+        nrm = (
+            f0[1] * f1[2] - f0[2] * f1[1],
+            f0[2] * f1[0] - f0[0] * f1[2],
+            f0[0] * f1[1] - f0[1] * f1[0],
+        )
+        fx = [_Fr(float(v)) for v in x]
+        dot = sum(q * w for q, w in zip(fx, nrm))
+        nn = math.sqrt(float(sum(v * v for v in nrm)))
+        return abs(float(dot)) / nn
+
+    dbl_eps = 2.220446049250313e-16
+    z = _n(rng.normal(size=3))
+    x = _n(np.cross(z, rng.normal(size=3)))
+    y = np.cross(z, x)
+    slope = 10.0 ** rng.uniform(-12, -1)
+    p = z
+    d1 = _n(x + slope * y)
+    d2 = _n(x - slope * y)
+    for _tries in range(200):
+        ab_len = math.pi * 10.0 ** rng.uniform(-4, -0.3)
+        cd_len = math.pi * 10.0 ** rng.uniform(-4, -0.3)
+        a_fr = rng.uniform()
+        c_fr = rng.uniform()
+        if rng.uniform() < 0.25:
+            a_fr = dbl_eps * 10.0 ** rng.uniform(-4, 0) * ab_len
+        if rng.uniform() < 0.25:
+            c_fr = dbl_eps * 10.0 ** rng.uniform(-4, 0) * cd_len
+        a = _n(p - d1 * (a_fr * ab_len))
+        b = _n(p + d1 * ((1 - a_fr) * ab_len))
+        c = _n(p - d2 * (c_fr * cd_len))
+        d = _n(p + d2 * ((1 - c_fr) * cd_len))
+        if EdgeCrosser(a, b).crossing_sign(c, d) > 0:
+            break
+    else:
+        return  # no crossing pair drawn for this seed — vacuous
+    expected = intersection_exact(a, b, c, d)
+    if float(expected @ (a + b + c + d)) < 0:
+        expected = -expected
+    actual = edge_intersection(a, b, c, d)
+    for e0, e1 in ((a, b), (c, d)):
+        assert _exact_circle_dist(actual, e0, e1) <= INTERSECTION_ERROR, "circle dist"
+    assert distance_from_segment(actual, a, b)[0] <= 1e-12, "segment AB"
+    assert distance_from_segment(actual, c, d)[0] <= 1e-12, "segment CD"
+    assert _ang(actual, expected) <= INTERSECTION_ERROR, "vs exact point"
+    # swap/reversal invariance within the error bound
+    for args in ((b, a, d, c), (c, d, a, b)):
+        assert _ang(edge_intersection(*args), actual) <= 2 * INTERSECTION_ERROR, "swap"
+
+
+def fuzz_wraps(rng) -> None:
+    lvl = int(rng.integers(0, 31))
+    la, ln = rng.uniform(-89.9, 89.9), rng.uniform(-180.0, 180.0)
+    cid = h.parent(hilbert.cellid_from_latlng(la, ln), lvl)
+    total = 6 * 4**lvl
+    assert int(h.level(cid)) == lvl, "level decode"
+    # next/prev are inverses and match advance_wrap(+-1)
+    assert int(h.prev_wrap(h.next_wrap(cid))) == int(cid), "prev(next)"
+    assert int(h.next_wrap(h.prev_wrap(cid))) == int(cid), "next(prev)"
+    assert int(h.advance_wrap(cid, 1)) == int(h.next_wrap(cid)), "advance +1"
+    assert int(h.advance_wrap(cid, -1)) == int(h.prev_wrap(cid)), "advance -1"
+    # round-trip with arbitrary (possibly > one-lap) step counts
+    for _ in range(8):
+        k = int(rng.integers(-3 * total, 3 * total + 1)) if total < 2**40 else int(
+            rng.integers(-(2**40), 2**40)
+        )
+        fwd = h.advance_wrap(cid, k)
+        assert int(h.level(fwd)) == lvl, "advance_wrap level"
+        assert int(h.advance_wrap(fwd, -k)) == int(cid), "advance_wrap round-trip"
+    # one full lap is the identity
+    if total < 2**40:
+        assert int(h.advance_wrap(cid, total)) == int(cid), "full lap"
+        assert int(h.advance_wrap(cid, -total)) == int(cid), "full reverse lap"
+    # advance (clamped) agrees with advance_wrap when no wrap occurs
+    dist = int(h.distance_from_begin(cid))
+    small = int(rng.integers(0, 5))
+    if dist >= small:
+        assert int(h.advance(cid, -small)) == int(
+            h.advance_wrap(cid, -small)
+        ), "advance == advance_wrap (no wrap)"
+
+
+def fuzz_polycover(rng) -> None:
+    from rust_s2_spark.kernel.pip import Loop, Polygon
+
+    c = _rand_point(rng)
+    r_out = math.radians(rng.uniform(4.0, 25.0))
+    r_in = r_out * rng.uniform(0.2, 0.7)
+    n_shell = int(rng.integers(8, 32))
+    n_hole = int(rng.integers(8, 32))
+    shell = regular_loop(c, r_out, n_shell)
+    hole = regular_loop(c, r_in, n_hole)
+    poly = Polygon.from_loops([shell, hole])
+    cov = RegionCoverer(max_cells=int(rng.integers(8, 17))).covering(poly)
+    # orthonormal frame around c for sampling at a given angular distance
+    x = np.cross(c, _rand_point(rng))
+    x /= np.linalg.norm(x)
+    y = np.cross(c, x)
+    # polygon area: shell minus hole (regular loops are convex, hole nests)
+    assert abs(poly.area() - (shell.area() - hole.area())) < 1e-10, "annulus area"
+    # regular_loop vertices lie ON their circle, so each loop sits inside its
+    # circumcircle and contains its inscribed circle (radius r*cos(pi/n)).
+    in_ins = r_in * math.cos(math.pi / n_hole)  # hole's inscribed radius
+    out_ins = r_out * math.cos(math.pi / n_shell)
+    for _ in range(40):
+        t = rng.uniform(0.0, r_out)
+        th = rng.uniform(0.0, 2 * math.pi)
+        v = math.sin(t) * (math.cos(th) * x + math.sin(th) * y) + math.cos(t) * c
+        v /= np.linalg.norm(v)
+        inside = poly.contains_point(v)
+        if inside:
+            # completeness: every region point must be covered
+            leaf = int(hilbert.cellid_from_xyz(v[0], v[1], v[2]))
+            assert cov.contains_points(np.array([leaf], dtype=np.uint64)).all(), (
+                "covering misses an interior point"
+            )
+        if t < in_ins * 0.999:
+            assert not inside, "hole interior point inside polygon"
+        if r_in <= t <= out_ins * 0.999 and t >= r_in * 1.001:
+            assert inside, "annulus point outside polygon"
+    for cid in RegionCoverer(max_cells=12).interior_covering(poly).ids:
+        assert poly.contains_cell(Cell(cid)), "interior covering soundness"
+
+
+def fuzz_clipface(rng) -> None:
+    from rust_s2_spark.kernel import clipping, stuv
+
+    a = _rand_point(rng)
+    b = _rand_point(rng)
+    if abs(float(a @ b)) > 1 - 1e-9:
+        return
+    segs = clipping.face_segments(a, b)
+    assert 1 <= len(segs) <= 5, "segment count"
+    nrm = np.cross(a, b)
+    nn = np.linalg.norm(nrm)
+    if nn < 1e-9:
+        return
+    nrm = nrm / nn
+    pts = []
+    for face, (au, av), (bu, bv) in segs:
+        pa = np.asarray(stuv.face_uv_to_xyz(face, au, av), dtype=np.float64)
+        pb = np.asarray(stuv.face_uv_to_xyz(face, bu, bv), dtype=np.float64)
+        pa /= np.linalg.norm(pa)
+        pb /= np.linalg.norm(pb)
+        pts.append((pa, pb))
+        for u, v in ((au, av), (bu, bv)):
+            assert abs(u) <= 1 + 1e-12 and abs(v) <= 1 + 1e-12, "uv in face square"
+        for p in (pa, pb):
+            assert abs(float(p @ nrm)) < 1e-10, "endpoint on great circle"
+    assert np.linalg.norm(pts[0][0] - a) < 1e-12, "starts at A"
+    assert np.linalg.norm(pts[-1][1] - b) < 1e-12, "ends at B"
+    for i in range(len(pts) - 1):
+        assert np.linalg.norm(pts[i][1] - pts[i + 1][0]) < 1e-12, "chain continuity"
+
+
+def fuzz_rectdist(rng) -> None:
+    lls = []
+    for _ in range(2):
+        q = _rand_point(rng)
+        lls.append((math.atan2(q[2], math.hypot(q[0], q[1])), math.atan2(q[1], q[0])))
+    rect = Rect.from_point_pair(lls[0][0], lls[0][1], lls[1][0], lls[1][1])
+    if rect.is_empty:
+        return
+    for _ in range(10):
+        q = _rand_point(rng)
+        lat = math.atan2(q[2], math.hypot(q[0], q[1]))
+        lng = math.atan2(q[1], q[0])
+        d = rect.distance_to_latlng_rad(lat, lng)
+        assert d >= 0.0, "negative distance"
+        inside = rect.contains_latlng_rad(lat, lng)
+        assert (d == 0.0) == inside, "zero iff contained"
+        # d is a lower bound on the distance to every in-rect sample
+        p = _latlng_point(lat, lng)
+        for _s in range(12):
+            slat = rng.uniform(rect.lat.lo, rect.lat.hi)
+            lo, hi = rect.lng.lo, rect.lng.hi
+            if lo <= hi:
+                slng = rng.uniform(lo, hi)
+            else:
+                slng = lo + rng.uniform(0.0, (hi + 2.0 * math.pi) - lo)
+                if slng > math.pi:
+                    slng -= 2.0 * math.pi
+            s = _latlng_point(slat, slng)
+            ds = math.atan2(np.linalg.norm(np.cross(p, s)), float(p @ s))
+            assert ds >= d - 1e-12, "sample beats claimed min distance"
+
+
 FAMILIES = {
     "vectorize": fuzz_vectorize,
     "overlay": fuzz_overlay,
@@ -278,6 +507,11 @@ FAMILIES = {
     "serde": fuzz_serde,
     "simplify": fuzz_simplify,
     "edgedist": fuzz_edgedist,
+    "intersect": fuzz_intersect,
+    "wraps": fuzz_wraps,
+    "polycover": fuzz_polycover,
+    "clipface": fuzz_clipface,
+    "rectdist": fuzz_rectdist,
 }
 
 
@@ -295,9 +529,10 @@ def main() -> int:
             seed = args.base_seed + k
             try:
                 fn(np.random.default_rng(seed))
-            except AssertionError as e:
+            except Exception as e:  # a crash is a finding too (_rect_is_full
+                # was a TypeError) — record it and keep sweeping
                 failures += 1
-                print(f"FAIL {name} seed={seed}: {e}")
+                print(f"FAIL {name} seed={seed}: {type(e).__name__}: {e}")
         print(
             f"{name}: {args.per_family} seeds, "
             f"{time.time() - t0:.1f}s, failures so far {failures}",
