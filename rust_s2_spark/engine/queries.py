@@ -2167,7 +2167,13 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for variant, lvl, mask in masks:
         poly = cellunion_boundary(CellUnion(mask), lvl)
-        n_vertices = sum(len(lp.vertices) for lp in poly.loops)
+        # a mask covering the whole sphere has ZERO boundary edges, hence
+        # zero boundary vertices — the FULL polygon's sentinel vertex is an
+        # encoding artifact, not geometry (sf1 finding: 1M events saturate
+        # the level-4 grid and the oracle's combinatorial count is 0)
+        n_vertices = (
+            0 if poly.is_full() else sum(len(lp.vertices) for lp in poly.loops)
+        )
         area = float(np.sum(_tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
         rows.append((variant, lvl, len(mask), n_vertices, area))
     out = spark.createDataFrame(

@@ -300,6 +300,38 @@ def test_dense_pinched_masks_valid():
             assert poly.contains_point(p) == (int(probes[t]) in in_set)
 
 
+def test_vectorize_full_grid_zero_boundary_vertices(tmp_path, spark):
+    """When the events saturate EVERY level-4 tile, the occ mask covers the
+    sphere: zero boundary edges, so n_vertices must be 0 (the FULL
+    polygon's sentinel vertex is an encoding artifact, not geometry) and
+    the area is the full 4*pi.  Found by the sf1 gate: 1M events saturate
+    the grid and the Spark side reported the sentinel vertex as 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_s2_spark.engine import specs
+    from rust_s2_spark.engine.queries import QUERIES
+
+    # minimal saturating fixture: the first event_id landing in each of the
+    # 6*4^4 level-4 tiles under the spec's derived-latlng LCG
+    ids = np.arange(20_000, dtype=np.int64)
+    la, ln = specs.latlng_np(ids)
+    tiles = h.parent(hilbert.cellid_from_latlng(la, ln), 4)
+    _, first = np.unique(tiles, return_index=True)
+    assert len(first) == 6 * 4**4, "fixture must saturate the level-4 grid"
+    pq.write_table(
+        pa.table({"event_id": pa.array(np.sort(ids[first]))}),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = {r["variant"]: r for r in QUERIES["s2_vectorize"](spark, str(tmp_path)).collect()}
+    occ = rows["occ"]
+    assert occ["n_cells"] == 6 * 4**4
+    assert occ["n_vertices"] == 0
+    assert occ["area_r"] == round(4.0 * math.pi, 7)
+    # every fine tile holds exactly one event -> no tile reaches 2x mean
+    assert rows["hot"]["n_cells"] == 0 and rows["hot"]["n_vertices"] == 0
+
+
 def test_vectorize_empty_events_guard(tmp_path, spark):
     """An empty events table degrades to two zero rows (n_cells=0,
     n_vertices=0, area_r=0.0) instead of ZeroDivisionError."""
