@@ -2070,48 +2070,6 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tile_quad_areas(ids: np.ndarray, lvl: int) -> np.ndarray:
-    """Exact spherical area of each level-``lvl`` cell: two-triangle fan of
-    the 4 unit corners (CCW from the st-lo corner), with the operation order
-    mirrored by o_s2_vectorize's SQL fragment so both engines agree to well
-    below the 1e-7 rounding granularity (measured cross-engine drift on the
-    full masks: < 1e-12)."""
-    from ..kernel import stuv
-
-    f, i, j, _ = h.cellid_to_face_ij_orientation(np.asarray(ids, dtype=np.uint64))
-    n = float(1 << lvl)
-    shift = 30 - lvl
-    ti = (i >> shift).astype(np.float64)
-    tj = (j >> shift).astype(np.float64)
-    s_lo, s_hi = ti / n, (ti + 1.0) / n
-    t_lo, t_hi = tj / n, (tj + 1.0) / n
-
-    def corner(s, t):
-        u = np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
-                     (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
-        v = np.where(t >= 0.5, (4.0 * t * t - 1.0) / 3.0,
-                     (1.0 - 4.0 * (1.0 - t) * (1.0 - t)) / 3.0)
-        x, y, z = stuv.face_uv_to_xyz(f.astype(np.int64), u, v)
-        nn = np.sqrt(1.0 + u * u + v * v)
-        return x / nn, y / nn, z / nn
-
-    va = corner(s_lo, t_lo)
-    vb = corner(s_hi, t_lo)
-    vc = corner(s_hi, t_hi)
-    vd = corner(s_lo, t_hi)
-
-    def tri(a, b, c):
-        det = (a[0] * (b[1] * c[2] - b[2] * c[1])
-               + a[1] * (b[2] * c[0] - b[0] * c[2])
-               + a[2] * (b[0] * c[1] - b[1] * c[0]))
-        dab = np.clip(a[0] * b[0] + a[1] * b[1] + a[2] * b[2], -1.0, 1.0)
-        dbc = np.clip(b[0] * c[0] + b[1] * c[1] + b[2] * c[2], -1.0, 1.0)
-        dca = np.clip(c[0] * a[0] + c[1] * a[1] + c[2] * a[2], -1.0, 1.0)
-        return 2.0 * np.arctan2(det, 1.0 + dab + dbc + dca)
-
-    return tri(va, vb, vc) + tri(va, vc, vd)
-
-
 def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector side of raster<->vector (kernel/vectorize.py): data-derived
     tile masks stitched into their boundary polygons.  Two variants from the
@@ -2127,7 +2085,7 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinatorially — edge-neighbor membership via the FACE_WRAP cube
     topology, never stitching — so the stitch is verified end-to-end."""
     from ..kernel.covering import CellUnion
-    from ..kernel.vectorize import cellunion_boundary
+    from ..kernel.vectorize import cellunion_boundary, tile_quad_areas
 
     docs = events_geo(spark, sf_dir)
     (occ_name, occ_lvl, _), (hot_name, hot_lvl, _) = specs.VECTORIZE_VARIANTS
@@ -2174,7 +2132,7 @@ def q_s2_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vertices = (
             0 if poly.is_full() else sum(len(lp.vertices) for lp in poly.loops)
         )
-        area = float(np.sum(_tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
+        area = float(np.sum(tile_quad_areas(np.asarray(mask, dtype=np.uint64), lvl))) if mask else 0.0
         rows.append((variant, lvl, len(mask), n_vertices, area))
     out = spark.createDataFrame(
         rows, "variant string, level long, n_cells long, n_vertices long, area double"

@@ -150,6 +150,17 @@ def loop_overlay(a: Loop, b: Loop, op: str) -> Polygon:
     empty, possibly multiple shells)."""
     if op not in ("union", "intersection", "difference"):
         raise ValueError(f"unknown overlay op: {op}")
+    # FULL/EMPTY sentinel loops are not walkable boundaries — short-circuit
+    # by boolean algebra (same re-entry concern as polygon_overlay)
+    if a.is_full() or b.is_full() or a.is_empty() or b.is_empty():
+        def _as_poly(lp: Loop) -> Polygon:
+            if lp.is_empty():
+                return Polygon([], _nested=True)
+            if lp.is_full():
+                return Polygon([Loop.full()], _nested=True)
+            return Polygon.from_loops([lp])
+
+        return polygon_overlay(_as_poly(a), _as_poly(b), op)
     # find all crossing edge pairs
     crossings = {}
     na, nb = len(a.vertices), len(b.vertices)
@@ -289,6 +300,29 @@ def polygon_overlay(a: Polygon, b: Polygon, op: str) -> Polygon:
     union, inside A for intersection, inside A REVERSED for difference."""
     if op not in ("union", "intersection", "difference"):
         raise ValueError(f"unknown overlay op: {op}")
+    # FULL/EMPTY operands short-circuit by boolean algebra.  The sentinel
+    # loops (1-vertex full/empty encodings) are not walkable boundaries and
+    # must never reach the chain/selection machinery — a FULL result from
+    # this very function can legally re-enter as an operand (review finding:
+    # intersecting a FULL overlay result used to keep the sentinel as a
+    # ring, producing a structurally invalid polygon).
+    if a.is_full() or b.is_full() or a.is_empty() or b.is_empty():
+        if op == "union":
+            if a.is_full() or b.is_full():
+                return Polygon([Loop.full()], _nested=True)
+            return b if a.is_empty() else a
+        if op == "intersection":
+            if a.is_full():
+                return b
+            if b.is_full():
+                return a
+            return Polygon([], _nested=True)  # one operand is empty
+        # difference: A ∩ comp(B)
+        if a.is_empty() or b.is_full():
+            return Polygon([], _nested=True)
+        if b.is_empty():
+            return a
+        return b.invert()  # a is FULL: comp(B)
     ro_a = [lp if not lp.is_hole() else lp.invert() for lp in a.loops]
     ro_b = [lp if not lp.is_hole() else lp.invert() for lp in b.loops]
     a_x: dict[int, dict[int, list]] = {i: {} for i in range(len(ro_a))}

@@ -81,10 +81,15 @@ def test_intersection_at_shallow_angles(slope_exp):
             cd_len = math.pi * 10.0 ** rng.uniform(-4, -0.3)
             a_fr = rng.uniform()
             c_fr = rng.uniform()
+            # near-endpoint stress: put A (resp. C) an ABSOLUTE 1-1e4 ulps
+            # from the crossing point.  a_fr is a FRACTION of ab_len, so
+            # divide by the edge length (the old `* ab_len` form scaled by
+            # the length twice, and the offset rounded to zero — the case
+            # silently degenerated to a shared vertex and was retried).
             if rng.uniform() < 0.25:
-                a_fr = DBL_EPSILON * 10.0 ** rng.uniform(-4, 0) * ab_len
+                a_fr = min(0.5, DBL_EPSILON * 10.0 ** rng.uniform(0, 4) / ab_len)
             if rng.uniform() < 0.25:
-                c_fr = DBL_EPSILON * 10.0 ** rng.uniform(-4, 0) * cd_len
+                c_fr = min(0.5, DBL_EPSILON * 10.0 ** rng.uniform(0, 4) / cd_len)
             a = n(p - d1 * (a_fr * ab_len))
             b = n(p + d1 * ((1 - a_fr) * ab_len))
             c = n(p - d2 * (c_fr * cd_len))

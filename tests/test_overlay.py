@@ -320,3 +320,56 @@ def test_polygon_union_complementary_overlap_is_full():
         assert u.contains_point(p) == (ia or ib)
         assert i.contains_point(p) == (ia and ib)
         assert d.contains_point(p) == (ia and not ib)
+
+
+def test_overlay_consumes_full_and_empty_operands():
+    """A FULL result from the overlay can legally re-enter as an operand
+    (review finding: the sentinel loop used to reach the ring-selection
+    machinery — intersecting a FULL union with a polygon containing the
+    sentinel vertex kept the 1-vertex sentinel as a ring and produced a
+    structurally invalid polygon).  FULL/EMPTY operands now short-circuit
+    by boolean algebra at both API levels."""
+    from rust_s2_spark.kernel.overlay import (
+        loop_difference,
+        loop_intersection,
+        loop_union,
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+    from rust_s2_spark.kernel.pip import Loop, Polygon, regular_loop
+
+    n, s = np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, -1.0])
+    A = Polygon.from_loops([regular_loop(n, math.radians(100), 32)])
+    B = Polygon.from_loops([regular_loop(s, math.radians(100), 32)])
+    U = polygon_union(A, B)
+    assert U.is_full()
+    # C contains the sentinel vertex region around the north pole
+    C = Polygon.from_loops([regular_loop(n, math.radians(20), 16)])
+    got = polygon_intersection(U, C)
+    assert got.validate() is None, got.validate()
+    assert abs(got.area() - C.area()) < 1e-12
+    assert polygon_intersection(C, U).validate() is None
+    # difference against FULL: comp(C), validates, area complement
+    dc = polygon_difference(U, C)
+    assert dc.validate() is None
+    assert abs(dc.area() - (4 * math.pi - C.area())) < 1e-12
+    assert polygon_difference(C, U).is_empty()
+    assert polygon_union(U, C).is_full()
+    # EMPTY operands
+    E = Polygon([], _nested=True)
+    assert polygon_union(E, C).area() == C.area()
+    assert polygon_intersection(E, C).is_empty()
+    assert polygon_difference(C, E).area() == C.area()
+    assert polygon_difference(E, C).is_empty()
+    # Loop-level sentinels route through the same algebra
+    lc = regular_loop(n, math.radians(20), 16)
+    assert loop_union(Loop.full(), lc).is_full()
+    got = loop_intersection(Loop.full(), lc)
+    assert got.validate() is None
+    assert abs(got.area() - lc.area()) < 1e-12
+    d = loop_difference(Loop.full(), lc)
+    assert d.validate() is None
+    assert abs(d.area() - (4 * math.pi - lc.area())) < 1e-12
+    assert loop_union(Loop.empty(), lc).area() == pytest.approx(lc.area(), abs=0)
+    assert loop_intersection(Loop.empty(), lc).is_empty()

@@ -206,7 +206,7 @@ def test_driver_mask_invariants_sf0001():
     import duckdb
 
     from rust_s2_spark.engine import specs
-    from rust_s2_spark.engine.queries import _tile_quad_areas
+    from rust_s2_spark.kernel.vectorize import tile_quad_areas
 
     ids = duckdb.sql(
         "SELECT event_id FROM '/root/testdata/sf0.001/events.parquet'"
@@ -223,7 +223,7 @@ def test_driver_mask_invariants_sf0001():
         n_bd = int(sum(int(x) not in in_set for x in nbrs.ravel()))
         poly = cellunion_boundary(CellUnion([int(x) for x in mask]), lvl)
         assert sum(len(lp.vertices) for lp in poly.loops) == n_bd
-        cell_sum = float(np.sum(_tile_quad_areas(mask, lvl)))
+        cell_sum = float(np.sum(tile_quad_areas(mask, lvl)))
         assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
         # membership roundtrip on random probe points
         la = rng.uniform(-80, 80, 300)
@@ -274,7 +274,7 @@ def test_dense_pinched_masks_valid():
     EMPTY polygon (the self-touching loops cycled the nesting forest).
     Gate: vertex-count identity, exact area identity, membership
     round-trip, and no duplicate vertices in any loop."""
-    from rust_s2_spark.engine.queries import _tile_quad_areas
+    from rust_s2_spark.kernel.vectorize import tile_quad_areas
 
     for seed, n, lvl in ((38, 1500, 4), (900, 1500, 4), (68, 300, 3), (176, 57, 2)):
         rng = np.random.default_rng(seed)
@@ -289,7 +289,7 @@ def test_dense_pinched_masks_valid():
         for lp in poly.loops:
             keys = [tuple(np.round(v, 14)) for v in lp.vertices]
             assert len(set(keys)) == len(keys)  # no self-touching loops
-        cell_sum = float(np.sum(_tile_quad_areas(mask, lvl)))
+        cell_sum = float(np.sum(tile_quad_areas(mask, lvl)))
         assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
         rng2 = np.random.default_rng(seed + 1)
         la2 = rng2.uniform(-85, 85, 150)

@@ -60,7 +60,7 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from rust_s2_spark.engine.queries import _tile_quad_areas
+from rust_s2_spark.kernel.vectorize import tile_quad_areas
 from rust_s2_spark.kernel import hierarchy as h
 from rust_s2_spark.kernel import hilbert
 from rust_s2_spark.kernel.covering import CellUnion, RegionCoverer
@@ -81,6 +81,20 @@ def _rand_point(rng) -> np.ndarray:
         n = np.linalg.norm(p)
         if n > 1e-3:
             return p / n
+
+
+def _sample_latlng_in_rect(rng, rect) -> tuple[float, float]:
+    """Uniform (lat, lng) radians inside ``rect``, handling the inverted
+    (antimeridian-wrapping) longitude interval."""
+    lat = rng.uniform(rect.lat.lo, rect.lat.hi)
+    lo, hi = rect.lng.lo, rect.lng.hi
+    if lo <= hi:
+        lng = rng.uniform(lo, hi)
+    else:
+        lng = lo + rng.uniform(0.0, (hi + 2.0 * math.pi) - lo)
+        if lng > math.pi:
+            lng -= 2.0 * math.pi
+    return lat, lng
 
 
 # -- families -----------------------------------------------------------------
@@ -107,7 +121,7 @@ def fuzz_vectorize(rng) -> None:
         for lp in poly.loops:
             keys = [tuple(np.round(v, 14)) for v in lp.vertices]
             assert len(set(keys)) == len(keys), "repeated vertex in a loop"
-    cell_sum = float(np.sum(_tile_quad_areas(mask, lvl)))
+    cell_sum = float(np.sum(tile_quad_areas(mask, lvl)))
     assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum), "area identity"
     la2 = rng.uniform(-85, 85, 60)
     ln2 = rng.uniform(-179, 179, 60)
@@ -185,14 +199,7 @@ def fuzz_covering(rng) -> None:
     rcov = RegionCoverer(max_cells=int(rng.integers(4, 13))).covering(rect)
     leaves = []
     for _ in range(30):
-        lat = rng.uniform(rect.lat.lo, rect.lat.hi)
-        lo, hi = rect.lng.lo, rect.lng.hi
-        if lo <= hi:
-            lng = rng.uniform(lo, hi)
-        else:
-            lng = lo + rng.uniform(0.0, (hi + 2.0 * math.pi) - lo)
-            if lng > math.pi:
-                lng -= 2.0 * math.pi
+        lat, lng = _sample_latlng_in_rect(rng, rect)
         leaves.append(
             int(hilbert.cellid_from_latlng(math.degrees(lat), math.degrees(lng)))
         )
@@ -336,10 +343,12 @@ def fuzz_intersect(rng) -> None:
         cd_len = math.pi * 10.0 ** rng.uniform(-4, -0.3)
         a_fr = rng.uniform()
         c_fr = rng.uniform()
+        # near-endpoint stress: endpoint an ABSOLUTE 1-1e4 ulps from the
+        # crossing (a_fr is a fraction of ab_len, so divide by the length)
         if rng.uniform() < 0.25:
-            a_fr = dbl_eps * 10.0 ** rng.uniform(-4, 0) * ab_len
+            a_fr = min(0.5, dbl_eps * 10.0 ** rng.uniform(0, 4) / ab_len)
         if rng.uniform() < 0.25:
-            c_fr = dbl_eps * 10.0 ** rng.uniform(-4, 0) * cd_len
+            c_fr = min(0.5, dbl_eps * 10.0 ** rng.uniform(0, 4) / cd_len)
         a = _n(p - d1 * (a_fr * ab_len))
         b = _n(p + d1 * ((1 - a_fr) * ab_len))
         c = _n(p - d2 * (c_fr * cd_len))
@@ -486,14 +495,7 @@ def fuzz_rectdist(rng) -> None:
         # d is a lower bound on the distance to every in-rect sample
         p = _latlng_point(lat, lng)
         for _s in range(12):
-            slat = rng.uniform(rect.lat.lo, rect.lat.hi)
-            lo, hi = rect.lng.lo, rect.lng.hi
-            if lo <= hi:
-                slng = rng.uniform(lo, hi)
-            else:
-                slng = lo + rng.uniform(0.0, (hi + 2.0 * math.pi) - lo)
-                if slng > math.pi:
-                    slng -= 2.0 * math.pi
+            slat, slng = _sample_latlng_in_rect(rng, rect)
             s = _latlng_point(slat, slng)
             ds = math.atan2(np.linalg.norm(np.cross(p, s)), float(p @ s))
             assert ds >= d - 1e-12, "sample beats claimed min distance"
