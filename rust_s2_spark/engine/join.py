@@ -42,6 +42,7 @@ __all__ = [
     "cap_join",
     "rect_join",
     "salted",
+    "distance_self_join",
 ]
 
 
@@ -310,3 +311,119 @@ def rect_join(
     refined = joined.where(lat_ok & lng_ok)
     keep = [c for c in docs_tiled.columns] + ["region_id"]
     return refined.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# Within-distance pairwise self-join
+# ---------------------------------------------------------------------------
+
+
+def distance_self_join(
+    pts: DataFrame,
+    radius_rad: float,
+    lvl: int | None = None,
+    id_col: str = "event_id",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """All unordered point pairs within angular distance ``radius_rad``.
+
+    The canonical within-distance spatial self-join (the DBSCAN-epsilon /
+    dedup-by-location primitive).  rust-s2 ships the *pieces* — CellID Moore
+    neighborhoods (cellid.rs:389-439) and the chord-distance predicate
+    (cap.rs:212-214) — but never the relational operator; this is the
+    cluster-scale composition:
+
+    - **coarse**: key every point by its level-L ancestor (pure bit Column),
+      where L is the finest level with ``min_width(L) > radius``.  Two points
+      within the radius then ALWAYS sit in the same or Moore-adjacent cells:
+      cells that do not touch are separated by a slab of whole cells, and
+      crossing a cell from edge to opposite edge is >= min_width(L)
+      (metric.rs:56-110 MIN_WIDTH).  The Moore map is built over the DISTINCT
+      occupied cells — grid-bounded, <= 6*4^L rows at ANY input scale (the
+      same bound the vectorize mask relies on) — and broadcast, so the only
+      data shuffle is ONE equi-partition of points by cell key.
+    - **refine**: exact squared-chord predicate in pure Column math inside
+      whole-stage codegen (the cap_join refine order).  The MEMBERSHIP is
+      engine-exact: JVM and DuckDB libm trig differ by 1-4 ulp (measured),
+      which perturbs chord2 by <= ~2e-17, while the closest event pair sits
+      >= 2.4e-10 from the threshold at sf0.1 — seven orders of margin.  The
+      emitted distance is rounded to 7 dp for the same reason: the raw
+      doubles are NOT bit-identical across engines (first query to emit
+      trig-derived doubles raw would fail the hash gate on ulp noise).
+
+    Each qualifying pair is emitted exactly once (``id_a < id_b``): the
+    per-cell neighbor list is deduped, Moore adjacency is symmetric, and a
+    point pair matches through exactly one (cell_a, cell_b) list entry.
+
+    Skew note: a hot cell (all points in one city block) makes the OUTPUT
+    itself quadratic in that cell's population — that is inherent to the
+    operator, not the plan; salting cannot shrink it.  The cell key spreads
+    distinct cells uniformly (Hilbert positions), and AQE splits oversized
+    reduce partitions at scale.
+    """
+    from ..kernel.constants import MIN_WIDTH
+
+    if lvl is None:
+        lvl = MIN_WIDTH.max_level(radius_rad)
+        if MIN_WIDTH.value(lvl) <= radius_rad:  # max_level ties: step coarser
+            lvl -= 1
+    if not MIN_WIDTH.value(lvl) > radius_rad:
+        raise ValueError(
+            f"min_width(level {lvl}) = {MIN_WIDTH.value(lvl)} must exceed "
+            f"radius {radius_rad}: Moore adjacency would miss pairs"
+        )
+    chord = 2.0 * math.sin(radius_rad / 2.0)
+    r2 = chord * chord
+
+    px = F.cos(F.radians("lat")) * F.cos(F.radians("lng"))
+    py = F.cos(F.radians("lat")) * F.sin(F.radians("lng"))
+    pz = F.sin(F.radians("lat"))
+    base = pts.select(
+        F.col(id_col).alias("_id"),
+        tiling.parent_col(cell_col, lvl).alias("_cell"),
+        px.alias("_x"),
+        py.alias("_y"),
+        pz.alias("_z"),
+    )
+
+    # Moore map over DISTINCT occupied cells: grid-bounded driver collect.
+    occupied = np.array(
+        [r[0] for r in base.select("_cell").distinct().collect()], dtype=np.int64
+    )
+    spark = pts.sparkSession
+    if occupied.size == 0:
+        return spark.createDataFrame(
+            [], "event_a long, event_b long, chord2_r double"
+        )
+    nbrs = h.all_neighbors_same_level(occupied.view(np.uint64)).view(np.int64)
+    pair_rows = [(int(c), int(c)) for c in occupied]
+    for k in range(occupied.size):
+        c = int(occupied[k])
+        for nb in np.unique(nbrs[k]):
+            pair_rows.append((c, int(nb)))
+    nbr_df = spark.createDataFrame(pair_rows, "cell long, nbr long")
+
+    a = base.join(F.broadcast(nbr_df), on=F.col("_cell") == F.col("cell")).select(
+        F.col("_id").alias("_ida"),
+        F.col("nbr"),
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+        F.col("_z").alias("_za"),
+    )
+    cand = a.join(
+        base, on=(F.col("nbr") == F.col("_cell")) & (F.col("_ida") < F.col("_id"))
+    )
+    chord2 = (
+        (F.col("_xa") - F.col("_x")) * (F.col("_xa") - F.col("_x"))
+        + (F.col("_ya") - F.col("_y")) * (F.col("_ya") - F.col("_y"))
+        + (F.col("_za") - F.col("_z")) * (F.col("_za") - F.col("_z"))
+    )
+    return (
+        cand.withColumn("chord2", chord2)
+        .where(F.col("chord2") <= F.lit(r2))
+        .select(
+            F.col("_ida").alias("event_a"),
+            F.col("_id").alias("event_b"),
+            F.round("chord2", 7).alias("chord2_r"),
+        )
+    )

@@ -255,6 +255,35 @@ WHERE rank <= {specs.KNN_K}
 """
 
 
+def o_distance_join() -> str:
+    """Brute-force all-pairs under a lat-band prefilter (|Δlat| can never
+    exceed the angular separation, so the band is a pure pruning step).
+    chord2 mirrors the Spark refine's operation order term for term; the
+    emitted value is rounded to 7 dp because JVM and DuckDB libm trig differ
+    by 1-4 ulp (chord2 noise <= ~2e-17 — harmless to MEMBERSHIP, whose
+    nearest-pair margin is >= 2.4e-10, but fatal to a raw-double hash)."""
+    import math
+
+    radius = specs.DISTANCE_JOIN_RADIUS
+    chord = 2.0 * math.sin(radius / 2.0)
+    r2 = chord * chord
+    band_deg = math.degrees(radius) * 1.0000001  # conservative upper bound
+    xyz = (
+        "SELECT event_id, lat, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz})
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+  round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z), 7) AS chord2_r
+FROM p a JOIN p b
+  ON a.event_id < b.event_id
+ AND b.lat BETWEEN a.lat - {specs.f(band_deg)} AND a.lat + {specs.f(band_deg)}
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z) <= {specs.f(r2)}
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1512,6 +1541,7 @@ ORACLES = {
     "s2_region_area_stats": o_region_area_stats,
     "s2_knn": o_knn,
     "s2_knn_cellring": o_knn,
+    "s2_distance_join": o_distance_join,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

@@ -2018,6 +2018,21 @@ def q_knn_cellring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance pairwise self-join over the event points: every
+    unordered pair closer than DISTANCE_JOIN_RADIUS (~89 km), with its exact
+    squared chord distance.  The DBSCAN-epsilon / spatial-dedup primitive —
+    candidates from a level-6 Moore-adjacency cell equi-join (grid-bounded
+    broadcast neighbor map, ONE shuffle on the cell key), exact chord refine
+    in whole-stage codegen; the oracle brute-forces all pairs under a
+    lat-band prefilter and must reproduce chord2 bit-exactly
+    (join.py distance_self_join; cellid.rs:389-439, cap.rs:212-214)."""
+    from .join import distance_self_join
+
+    pts = events_geo(spark, sf_dir)
+    return distance_self_join(pts, specs.DISTANCE_JOIN_RADIUS, id_col="event_id")
+
+
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2298,6 +2313,7 @@ QUERIES = {
     "s2_region_area_stats": q_region_area_stats,
     "s2_knn": q_knn,
     "s2_knn_cellring": q_knn_cellring,
+    "s2_distance_join": q_distance_join,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -51,6 +51,13 @@ def f(v: float) -> str:
     return repr(float(v))
 
 
+# Within-distance self-join radius (radians, ~89 km): strictly below
+# MIN_WIDTH.value(6) = 0.01473 so level-6 Moore adjacency is complete, and
+# measured >= 1e-6 RELATIVE margin from every event-pair chord2 at
+# sf0.001/0.01/0.1 (no pair sits near the threshold at double precision).
+DISTANCE_JOIN_RADIUS = 0.014
+
+
 # ---------------------------------------------------------------------------
 # Query regions (all literals; centers also embedded in oracle SQL)
 # ---------------------------------------------------------------------------

@@ -377,6 +377,38 @@ def vertex_neighbors(cid, lvl):
     return np.stack([n0, n1, n2, n3], axis=-1)
 
 
+def all_neighbors_same_level(cid):
+    """Vectorized Moore neighborhood at the cell's OWN level, shape (..., 8).
+
+    Batch twin of ``all_neighbors(cid, level(cid))`` (cellid.rs:389-439 with
+    ``nbr_size == size``) for the distance-join candidate generator: the 8
+    surrounding same-level cells with cube wrap.  At cube-face corners a
+    diagonal slot wraps onto a duplicate of an edge neighbor — exactly the
+    values the scalar loop feeds ``np.unique`` — so callers dedupe per row.
+    """
+    cid = _u64(cid)
+    lvl = level(cid)
+    size = size_ij(lvl)
+    f, i, j, _ = cellid_to_face_ij_orientation(cid)
+    i = i & -size
+    j = j & -size
+    j_lo = j - size >= 0
+    j_hi = j + size < MAX_SIZE
+    i_lo = i - size >= 0
+    i_hi = i + size < MAX_SIZE
+    cols = [
+        from_face_ij_same(f, i - size, j - size, j_lo & i_lo),
+        from_face_ij_same(f, i + size, j - size, j_lo & i_hi),
+        from_face_ij_same(f, i, j - size, j_lo),
+        from_face_ij_same(f, i, j + size, j_hi),
+        from_face_ij_same(f, i - size, j, i_lo),
+        from_face_ij_same(f, i + size, j, i_hi),
+        from_face_ij_same(f, i - size, j + size, j_hi & i_lo),
+        from_face_ij_same(f, i + size, j + size, j_hi & i_hi),
+    ]
+    return np.stack([parent(c, lvl) for c in cols], axis=-1)
+
+
 def all_neighbors(cid, lvl):
     """Full Moore neighborhood of one cell at ``lvl >= level(cid)``
     (cellid.rs:389-439).  Scalar helper (used per query region, not per doc):
