@@ -396,12 +396,18 @@ def distance_self_join(
             [], "event_a long, event_b long, chord2_r double"
         )
     nbrs = h.all_neighbors_same_level(occupied.view(np.uint64)).view(np.int64)
-    pair_rows = [(int(c), int(c)) for c in occupied]
-    for k in range(occupied.size):
-        c = int(occupied[k])
-        for nb in np.unique(nbrs[k]):
-            pair_rows.append((c, int(nb)))
-    nbr_df = spark.createDataFrame(pair_rows, "cell long, nbr long")
+    # self + 8 neighbors, deduped per row fully vectorized (duplicates occur
+    # only at cube-face corners): sort each row, mask repeats.  Valid cellids
+    # are positive in int64 (face <= 5 keeps the sign bit clear), so the
+    # int64 sort order is the cellid order.
+    nine = np.concatenate([occupied[:, None], nbrs], axis=1)
+    nine.sort(axis=1)
+    keep = np.ones(nine.shape, dtype=bool)
+    keep[:, 1:] = nine[:, 1:] != nine[:, :-1]
+    cells = np.repeat(occupied[:, None], nine.shape[1], axis=1)[keep]
+    nbr_df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "nbr": nine[keep]})
+    )
 
     a = base.join(F.broadcast(nbr_df), on=F.col("_cell") == F.col("cell")).select(
         F.col("_id").alias("_ida"),

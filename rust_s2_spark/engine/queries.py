@@ -131,6 +131,7 @@ def clear_geo_cache() -> None:
     _AUX_CACHE.clear()
     _EMBED_CACHE.clear()
     _KNN_RESULT_CACHE.clear()
+    _DISTANCE_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
@@ -2026,11 +2027,23 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast neighbor map, ONE shuffle on the cell key), exact chord refine
     in whole-stage codegen; the oracle brute-forces all pairs under a
     lat-band prefilter and must reproduce chord2 bit-exactly
-    (join.py distance_self_join; cellid.rs:389-439, cap.rs:212-214)."""
+    (join.py distance_self_join; cellid.rs:389-439, cap.rs:212-214).
+
+    Memoized per (session, dataset): building the plan runs one bounded
+    distinct-cells job (the Moore map), which re-invocations reuse."""
     from .join import distance_self_join
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DISTANCE_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     pts = events_geo(spark, sf_dir)
-    return distance_self_join(pts, specs.DISTANCE_JOIN_RADIUS, id_col="event_id")
+    out = distance_self_join(pts, specs.DISTANCE_JOIN_RADIUS, id_col="event_id")
+    _DISTANCE_RESULT_CACHE[key] = out
+    return out
+
+
+_DISTANCE_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}

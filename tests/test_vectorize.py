@@ -348,3 +348,32 @@ def test_vectorize_empty_events_guard(tmp_path, spark):
     assert [
         (r["variant"], r["n_cells"], r["n_vertices"], r["area_r"]) for r in rows
     ] == [("occ", 0, 0, 0.0), ("hot", 0, 0, 0.0)]
+
+
+def test_winding_fan_area_not_aliased_to_zero():
+    """A large non-convex boundary ring can integrate its triangle fan one
+    4*pi sheet HIGH (each fan triangle's signed area is computed on its
+    principal sheet).  loop.rs:1848-1852 wraps only negative sums, so its
+    clamp + orientation branch aliased such loops to area 0; Loop.area now
+    normalizes mod 4*pi.  Fuzz seed 1100441: a 45/96-cell level-2 mask whose
+    60-vertex ring has true area 4.8766 (certified by Gauss-Bonnet
+    2*pi - turning_angle, exact for simple loops) but integrated to
+    area + 4*pi = 17.443."""
+    from rust_s2_spark.kernel.vectorize import tile_quad_areas
+
+    rng = np.random.default_rng(1100441)
+    lvl = int(rng.integers(2, 6))
+    n = int(rng.integers(30, 1200))
+    la = rng.uniform(-89, 89, n)
+    ln = rng.uniform(-180, 180, n)
+    mask = np.unique(h.parent(hilbert.cellid_from_latlng(la, ln), lvl))
+    assert (lvl, len(mask)) == (2, 45)  # pins the regression geometry
+    poly = cellunion_boundary(CellUnion([int(x) for x in mask]), lvl)
+    big = max(poly.loops, key=lambda lp: len(lp.vertices))
+    assert len(big.vertices) == 60
+    # Gauss-Bonnet certificate, independent of the fan integral
+    gb = 2.0 * math.pi - big.turning_angle()
+    assert abs(big.area() - gb) < 1e-9
+    assert big.area() > 4.0  # the old code returned exactly 0.0
+    cell_sum = float(np.sum(tile_quad_areas(mask, lvl)))
+    assert abs(poly.area() - cell_sum) < 1e-10 * max(1.0, cell_sum)
