@@ -211,3 +211,51 @@ def nested_polygon_refine_udf(
         )
 
     return _refine
+
+
+def mixed_region_refine_udf(
+    spark: SparkSession,
+    verts: dict[str, np.ndarray],
+    polys: dict[str, list[np.ndarray]],
+    tag: str,
+):
+    """Region-dispatched exact PIP over a MIXED region table: single loops
+    (crossing-number, loop.rs:279-297) and multi-ring polygons (parity XOR,
+    polygon.rs:218-346) verified in ONE Arrow stage — the fused refine for
+    queries that union loop regions with nested polygons (one covering join
+    + one python stage instead of two of each)."""
+    bc = session_broadcast(
+        spark,
+        ("mixed_refine", tag),
+        lambda: (
+            {k: v.copy() for k, v in verts.items()},
+            {k: [r.copy() for r in rings] for k, rings in polys.items()},
+        ),
+    )
+    key = broadcast_memo_key(spark, bc)
+
+    @pandas_udf("boolean")
+    def _refine(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.pip import Polygon
+
+        cache = _LOOP_CACHE.setdefault(key, {})
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        px, py, pz = cl * np.cos(ln), cl * np.sin(ln), np.sin(la)
+        out = np.zeros(len(lat), dtype=bool)
+        rids = region_id.to_numpy()
+        loop_verts, poly_rings = bc.value
+        for rid in pd.unique(rids):
+            if rid not in cache:
+                if rid in loop_verts:
+                    cache[rid] = Loop(loop_verts[rid])
+                else:
+                    cache[rid] = Polygon.from_loops(
+                        [Loop(v) for v in poly_rings[rid]]
+                    )
+            m = rids == rid
+            out[m] = cache[rid].contains_points(px[m], py[m], pz[m])
+        return pd.Series(out)
+
+    return _refine

@@ -580,37 +580,32 @@ def q_region_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = events_geo(spark, sf_dir)
     verts, cov_rows = _loop_setup()
-    coverings = spark.createDataFrame(list(cov_rows), _COVER_SCHEMA)
-    levels = sorted({r[2] for r in cov_rows})
-    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
-    coarse = coarse.where(_margin_pred())
-    from .polyjoin import _pip_refine_udf, nested_polygon_refine_udf
-
-    flat = coarse.where(
-        _pip_refine_udf(spark, verts, tag="loops")(
-            F.col("region_id"), F.col("lat"), F.col("lng")
-        )
-    ).select("region_id", "event_id")
-
     _, ncov = _nested_setup()
-    ncoverings = spark.createDataFrame(list(ncov), _COVER_SCHEMA)
-    nlevels = sorted({r[2] for r in ncov})
-    ncoarse = covering_join(docs, ncoverings, id_col="event_id", levels=nlevels)
-    ok = F.expr(_margin_sql(_nested_edge_crosses()))
+    # ONE covering join + ONE Arrow refine over the union of all regions
+    # (loops + nested polygon) — previously two of each; both the margin
+    # CASE and the refine dispatch per region_id, so per-region semantics
+    # (and hence the oracle rows) are unchanged.
+    all_cov = list(cov_rows) + list(ncov)
+    coverings = spark.createDataFrame(all_cov, _COVER_SCHEMA)
+    levels = sorted({r[2] for r in all_cov})
+    coarse = covering_join(docs, coverings, id_col="event_id", levels=levels)
+    arms = " ".join(
+        f"WHEN '{rid}' THEN ({_margin_sql(crosses)})"
+        for rid, crosses in polygon_edge_crosses().items()
+    )
+    narm = f"WHEN '{specs.NESTED_POLYGON_ID}' THEN ({_margin_sql(_nested_edge_crosses())})"
+    coarse = coarse.where(F.expr(f"CASE region_id {arms} {narm} ELSE false END"))
+    from .polyjoin import mixed_region_refine_udf
+
     rings = [
         np.asarray(specs.polygon_vertices_xyz(r), dtype=np.float64)
         for r in specs.NESTED_RINGS
     ]
-    nested = (
-        ncoarse.where(ok)
-        .where(
-            nested_polygon_refine_udf(spark, rings, tag="nested")(
-                F.col("lat"), F.col("lng")
-            )
-        )
-        .select("region_id", "event_id")
-    )
-    hits = flat.unionByName(nested)
+    hits = coarse.where(
+        mixed_region_refine_udf(
+            spark, verts, {specs.NESTED_POLYGON_ID: rings}, tag="areastats"
+        )(F.col("region_id"), F.col("lat"), F.col("lng"))
+    ).select("region_id", "event_id")
     counts = hits.groupBy("region_id").agg(F.count("*").alias("n_events"))
 
     # region geometry stats via the kernel (driver-side: regions are few)
@@ -845,13 +840,23 @@ def q_covering_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select("event_id")
     cell = F.expr(_derived_cell12_sql())
     cells = ev.withColumn("cell12", cell)
-    a = cells.where(F.col("event_id") % 2 == 0).select("cell12").distinct()
-    b = cells.where(F.col("event_id") % 3 == 0).select("cell12").distinct()
-    both = a.intersect(b).withColumn("tag", F.lit("both"))
-    a_only = a.exceptAll(b).withColumn("tag", F.lit("a_only"))
-    b_only = b.exceptAll(a).withColumn("tag", F.lit("b_only"))
-    return both.unionByName(a_only).unionByName(b_only).select(
-        F.col("cell12").alias("cell_id"), "tag"
+    # Set algebra as ONE membership groupBy: tagging each cell with max(in_a)
+    # / max(in_b) flags is row-for-row identical to
+    # a.intersect(b) / a.exceptAll(b) / b.exceptAll(a) over the distinct cell
+    # sets (pinned by tests/test_relational_ops.py against the literal
+    # intersect/exceptAll plan), but costs ONE shuffle where the set-op form
+    # pays five and evaluates each distinct subtree three times — at 100 TB
+    # the flags plan is the only sane one.
+    agg = cells.groupBy("cell12").agg(
+        F.max((F.col("event_id") % 2 == 0).cast("int")).alias("in_a"),
+        F.max((F.col("event_id") % 3 == 0).cast("int")).alias("in_b"),
+    )
+    return agg.where((F.col("in_a") == 1) | (F.col("in_b") == 1)).select(
+        F.col("cell12").alias("cell_id"),
+        F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), F.lit("both"))
+        .when(F.col("in_a") == 1, F.lit("a_only"))
+        .otherwise(F.lit("b_only"))
+        .alias("tag"),
     )
 
 

@@ -81,3 +81,29 @@ def test_sample_hash_deterministic(spark):
     b = sorted(r["doc_id"] for r in q_sample_hash(spark, sf).repartition(7).collect())
     assert a == b
     assert 0 < len(a) < 500  # a real subset at ~30%
+
+
+def test_covering_set_ops_flags_equal_set_op_form(spark):
+    """s2_covering_set_ops ships the one-shuffle membership-flags plan; this
+    pins it row-for-row to the literal DataFrame set-op algebra
+    (intersect / exceptAll over the distinct per-side cell sets) it
+    replaces, on the real sf0.001 events."""
+    from pyspark.sql import functions as F
+
+    from rust_s2_spark.engine.queries import QUERIES, _derived_cell12_sql, _read
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.cell_id, r.tag) for r in QUERIES["s2_covering_set_ops"](spark, sf).collect()}
+
+    cells = _read(spark, sf, "events").select("event_id").withColumn(
+        "cell12", F.expr(_derived_cell12_sql())
+    )
+    a = cells.where(F.col("event_id") % 2 == 0).select("cell12").distinct()
+    b = cells.where(F.col("event_id") % 3 == 0).select("cell12").distinct()
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    a_only = a.exceptAll(b).withColumn("tag", F.lit("a_only"))
+    b_only = b.exceptAll(a).withColumn("tag", F.lit("b_only"))
+    ref = both.unionByName(a_only).unionByName(b_only)
+    expect = {(r.cell12, r.tag) for r in ref.collect()}
+    assert got == expect
+    assert len(expect) > 100
