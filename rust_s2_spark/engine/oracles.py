@@ -284,6 +284,49 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z
 """
 
 
+def o_spatial_cluster() -> str:
+    """Connected components of the epsilon graph as recursive-CTE
+    reachability: seed every edge endpoint with its own id, propagate along
+    symmetrized edges to a fixpoint (UNION dedup terminates it), then take
+    min(label) per node — the component's minimum id, exactly the Spark
+    side's hash-min fixpoint.  Row count per component is size^2, fine at
+    gate scale (sf0.01 largest component: 61 nodes).  The pair CTEs are
+    MATERIALIZED: DuckDB otherwise re-evaluates the brute-force distance
+    join on every recursive iteration (measured 52 s -> 1.2 s)."""
+    import math
+
+    radius = specs.DISTANCE_JOIN_RADIUS
+    chord = 2.0 * math.sin(radius / 2.0)
+    r2 = chord * chord
+    band_deg = math.degrees(radius) * 1.0000001
+    xyz = (
+        "SELECT event_id, lat, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+halfpairs AS MATERIALIZED (
+  SELECT a.event_id AS ea, b.event_id AS eb
+  FROM p a JOIN p b
+    ON a.event_id < b.event_id
+   AND b.lat BETWEEN a.lat - {specs.f(band_deg)} AND a.lat + {specs.f(band_deg)}
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z) <= {specs.f(r2)}
+),
+pairs AS MATERIALIZED (SELECT ea, eb FROM halfpairs UNION ALL SELECT eb, ea FROM halfpairs),
+nodes AS (SELECT DISTINCT ea AS node FROM pairs),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT pr.eb, w.label FROM walk w JOIN pairs pr ON pr.ea = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS event_id, cc.cluster_id, sizes.cluster_size
+FROM cc JOIN sizes USING (cluster_id)
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1542,6 +1585,7 @@ ORACLES = {
     "s2_knn": o_knn,
     "s2_knn_cellring": o_knn,
     "s2_distance_join": o_distance_join,
+    "s2_spatial_cluster": o_spatial_cluster,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

@@ -132,6 +132,7 @@ def clear_geo_cache() -> None:
     _EMBED_CACHE.clear()
     _KNN_RESULT_CACHE.clear()
     _DISTANCE_RESULT_CACHE.clear()
+    _CLUSTER_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
@@ -2051,6 +2052,43 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISTANCE_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial clustering: connected components of the within-distance
+    epsilon graph (DBSCAN with eps = DISTANCE_JOIN_RADIUS, minPts = 2 — every
+    edge endpoint is core).  Each clustered event gets its component's
+    minimum event_id as cluster_id, plus the cluster size.  Edges reuse the
+    memoized s2_distance_join pairs; components come from the iterative
+    hash-min + pointer-jumping loop (engine/cluster.py, O(log diameter)
+    rounds of two equi-shuffles each).  The oracle recomputes the fixpoint
+    as recursive-CTE reachability (min reachable id per node) — feasible at
+    the sf0.01 gate scale where component-size^2 row counts stay small.
+
+    Memoized per (session, dataset): the iterative search runs once; the
+    labeled result is a persisted DataFrame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLUSTER_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .cluster import connected_components
+
+    edges = q_distance_join(spark, sf_dir).select("event_a", "event_b")
+    cc = connected_components(edges, src="event_a", dst="event_b")
+    _AUX_PERSISTS.append(cc)
+    # no broadcast hint: cluster count scales with the data (AQE may still
+    # choose a broadcast when the aggregate side is small)
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    out = cc.join(sizes, on="cluster").select(
+        F.col("node").alias("event_id"),
+        F.col("cluster").alias("cluster_id"),
+        "cluster_size",
+    )
+    _CLUSTER_RESULT_CACHE[key] = out
+    return out
+
+
+_CLUSTER_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2332,6 +2370,7 @@ QUERIES = {
     "s2_knn": q_knn,
     "s2_knn_cellring": q_knn_cellring,
     "s2_distance_join": q_distance_join,
+    "s2_spatial_cluster": q_spatial_cluster,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
