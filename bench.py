@@ -46,6 +46,7 @@ HEADLINE = [
     "s2_knn_cellring",
     "s2_distance_join",
     "s2_spatial_cluster",
+    "s2_dbscan",
     "s2_segment_distance",
     "s2_region_area_stats",
     "s2_covering_set_ops",

@@ -327,6 +327,66 @@ FROM cc JOIN sizes USING (cluster_id)
 """
 
 
+def o_dbscan() -> str:
+    """Full DBSCAN replayed relationally: degree -> core (|N_eps| incl.
+    self >= minPts) -> recursive-CTE reachability over CORE-CORE edges only
+    (density-reachability restricted to cores is symmetric, so min
+    reachable core id per core = the Spark side's component minimum; a
+    singleton core seeds itself) -> border = non-core with a core
+    neighbor, taking the MIN cluster over its core neighbors -> everything
+    else noise with cluster -1.  Pair CTEs MATERIALIZED for the same
+    reason as o_spatial_cluster (DuckDB re-evaluates non-materialized CTEs
+    per recursive iteration)."""
+    import math
+
+    radius = specs.DISTANCE_JOIN_RADIUS
+    chord = 2.0 * math.sin(radius / 2.0)
+    r2 = chord * chord
+    band_deg = math.degrees(radius) * 1.0000001
+    xyz = (
+        "SELECT event_id, lat, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+halfpairs AS MATERIALIZED (
+  SELECT a.event_id AS ea, b.event_id AS eb
+  FROM p a JOIN p b
+    ON a.event_id < b.event_id
+   AND b.lat BETWEEN a.lat - {specs.f(band_deg)} AND a.lat + {specs.f(band_deg)}
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z) <= {specs.f(r2)}
+),
+pairs AS MATERIALIZED (SELECT ea, eb FROM halfpairs UNION ALL SELECT eb, ea FROM halfpairs),
+deg AS (SELECT ea AS node, count(*) AS nnb FROM pairs GROUP BY ea),
+core AS MATERIALIZED (SELECT node FROM deg WHERE nnb + 1 >= {specs.DBSCAN_MINPTS}),
+core_pairs AS MATERIALIZED (
+  SELECT pr.ea, pr.eb FROM pairs pr
+  JOIN core c1 ON pr.ea = c1.node JOIN core c2 ON pr.eb = c2.node
+),
+walk(node, label) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT pr.eb, w.label FROM walk w JOIN core_pairs pr ON pr.ea = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+border AS (
+  SELECT pr.ea AS node, min(cc.cluster_id) AS cluster_id
+  FROM pairs pr JOIN cc ON pr.eb = cc.node
+  WHERE pr.ea NOT IN (SELECT node FROM core)
+  GROUP BY pr.ea
+)
+SELECT e.event_id,
+  CASE WHEN cc.node IS NOT NULL THEN 'core'
+       WHEN b.node IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  coalesce(cc.cluster_id, b.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id
+FROM events e
+LEFT JOIN cc ON cc.node = e.event_id
+LEFT JOIN border b ON b.node = e.event_id
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1586,6 +1646,7 @@ ORACLES = {
     "s2_knn_cellring": o_knn,
     "s2_distance_join": o_distance_join,
     "s2_spatial_cluster": o_spatial_cluster,
+    "s2_dbscan": o_dbscan,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

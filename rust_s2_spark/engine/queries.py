@@ -133,6 +133,7 @@ def clear_geo_cache() -> None:
     _KNN_RESULT_CACHE.clear()
     _DISTANCE_RESULT_CACHE.clear()
     _CLUSTER_RESULT_CACHE.clear()
+    _DBSCAN_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
@@ -2089,6 +2090,110 @@ def q_spatial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DBSCAN over the event points (eps = DISTANCE_JOIN_RADIUS,
+    minPts = specs.DBSCAN_MINPTS): every event classified core / border /
+    noise with a deterministic cluster id.
+
+    Semantics (Ester et al. 1996, with canonical tie-breaks):
+
+    - **core**: |N_eps(p)| >= minPts, counting p itself;
+    - **clusters**: connected components of the core-core epsilon edges —
+      density-reachability restricted to cores is symmetric, so the
+      component structure IS the DBSCAN cluster structure; cluster_id is
+      the component's minimum core event_id.  A core whose neighbors are
+      all border points is its own singleton cluster;
+    - **border**: non-core with >= 1 core neighbor.  The textbook
+      algorithm assigns border points in scan order (nondeterministic on a
+      cluster); the canonical deterministic choice is the minimum
+      cluster_id over the point's core neighbors;
+    - **noise**: everything else; cluster_id = -1.
+
+    Plan shape: the memoized distance join supplies the epsilon edges;
+    degrees are ONE groupBy keyed by event_id; the core filter and the
+    core-core edge restriction are equi-joins on event_id (no broadcast
+    hint — the core set scales with the data; AQE broadcasts it while it
+    is small); components come from the contracting hash-min loop
+    (engine/cluster.py).  Every step shuffles only on event_id — no driver
+    data motion, nothing keyed by cluster size, so one continent-sized
+    cluster costs the same shuffles as a thousand hamlets.
+
+    Memoized per (session, dataset) like the distance join it builds on."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DBSCAN_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .cluster import connected_components
+
+    # persist the epsilon edges: sym / degrees / core-edge restriction /
+    # border assignment all consume them — unpersisted, every one of those
+    # materializations would re-run the full distance join
+    edges = q_distance_join(spark, sf_dir).select("event_a", "event_b").persist()
+    _AUX_PERSISTS.append(edges)
+    sym = edges.select(
+        F.col("event_a").alias("node"), F.col("event_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("event_b").alias("node"), F.col("event_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("nnb"))
+    core = (
+        deg.where(F.col("nnb") + F.lit(1) >= F.lit(specs.DBSCAN_MINPTS))
+        .select("node")
+        .persist()
+    )
+    _AUX_PERSISTS.append(core)
+    core_edges = edges.join(
+        core.select(F.col("node").alias("event_a")), on="event_a"
+    ).join(core.select(F.col("node").alias("event_b")), on="event_b")
+    cc = connected_components(core_edges, src="event_a", dst="event_b")
+    # singleton cores (no core neighbor) label themselves
+    core_lbl = (
+        core.join(
+            cc.select(F.col("node").alias("cn"), F.col("cluster")),
+            core["node"] == F.col("cn"),
+            "left",
+        )
+        .select(
+            "node", F.coalesce(F.col("cluster"), F.col("node")).alias("cluster_id")
+        )
+        .persist()
+    )
+    _AUX_PERSISTS.append(core_lbl)
+    border = (
+        sym.join(
+            core_lbl.select(
+                F.col("node").alias("cn"), F.col("cluster_id").alias("ncid")
+            ),
+            sym["nbr"] == F.col("cn"),
+        )
+        .join(core.select(F.col("node").alias("xn")), sym["node"] == F.col("xn"), "left_anti")
+        .groupBy("node")
+        .agg(F.min("ncid").alias("cluster_id"))
+    )
+    labeled = core_lbl.select(
+        "node", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(border.select("node", F.lit("border").alias("role"), "cluster_id"))
+    out = (
+        events_geo(spark, sf_dir)
+        .select("event_id")
+        .join(
+            labeled.withColumnRenamed("node", "event_id"), on="event_id", how="left"
+        )
+        .select(
+            "event_id",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.coalesce(F.col("cluster_id"), F.lit(-1).cast("long")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    _DBSCAN_RESULT_CACHE[key] = out
+    return out
+
+
+_DBSCAN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2371,6 +2476,7 @@ QUERIES = {
     "s2_knn_cellring": q_knn_cellring,
     "s2_distance_join": q_distance_join,
     "s2_spatial_cluster": q_spatial_cluster,
+    "s2_dbscan": q_dbscan,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -57,6 +57,14 @@ def f(v: float) -> str:
 # sf0.001/0.01/0.1 (no pair sits near the threshold at double precision).
 DISTANCE_JOIN_RADIUS = 0.014
 
+# DBSCAN minPts: a point is CORE when its eps-ball (eps =
+# DISTANCE_JOIN_RADIUS) holds >= this many points INCLUDING itself (Ester
+# et al. 1996 count the query point).  4 — the paper's recommended 2-D
+# default — yields a real three-way split at the sf0.01 gate (410 core /
+# 274 border / 9316 noise) while sf0.001's sparse graph (max degree 1)
+# exercises the all-noise degenerate branch.
+DBSCAN_MINPTS = 4
+
 
 # ---------------------------------------------------------------------------
 # Query regions (all literals; centers also embedded in oracle SQL)
