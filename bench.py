@@ -47,6 +47,7 @@ HEADLINE = [
     "s2_distance_join",
     "s2_spatial_cluster",
     "s2_dbscan",
+    "s2_focal_density",
     "s2_segment_distance",
     "s2_region_area_stats",
     "s2_covering_set_ops",

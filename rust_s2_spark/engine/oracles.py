@@ -387,6 +387,48 @@ LEFT JOIN border b ON b.node = e.event_id
 """
 
 
+def o_focal_density() -> str:
+    """Edge-neighbor focal sum replayed combinatorially: events -> leaf
+    (face,i,j) via the non-recursive encode prefix -> level-FOCAL_LEVEL
+    grid counts -> each tile contributes its count to itself and its 4
+    FACE_WRAP edge neighbors (same CASE tables the vectorize oracles use)
+    -> sum per target, emitted for occupied tiles only."""
+    lvl = specs.FOCAL_LEVEL
+    n = 1 << lvl
+    shift = 30 - lvl
+    in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj, count(*) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+nb AS (
+  SELECT base.face, base.ti, base.tj, dirs.d, base.n,
+    ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+    tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+  FROM base, (VALUES (0),(1),(2),(3)) dirs(d)
+),
+nb2 AS (
+  SELECT n,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END AS tf,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END AS tti,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END AS ttj
+  FROM nb
+),
+contrib AS (
+  SELECT face AS tf, ti AS tti, tj AS ttj, n FROM base
+  UNION ALL
+  SELECT tf, tti, ttj, n FROM nb2
+),
+focal AS (SELECT tf, tti, ttj, sum(n) AS focal_n FROM contrib GROUP BY 1, 2, 3)
+SELECT base.face, base.ti, base.tj, base.n, focal.focal_n
+FROM base JOIN focal
+  ON base.face = focal.tf AND base.ti = focal.tti AND base.tj = focal.ttj
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1647,6 +1689,7 @@ ORACLES = {
     "s2_distance_join": o_distance_join,
     "s2_spatial_cluster": o_spatial_cluster,
     "s2_dbscan": o_dbscan,
+    "s2_focal_density": o_focal_density,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

@@ -2208,6 +2208,76 @@ def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("region_id", "tile").agg(F.count("*").alias("n_docs"))
 
 
+def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (edge-neighbor) density on the S2 grid — raster map algebra.
+
+    Level-FOCAL_LEVEL tile counts, smoothed with a rook/von-Neumann focal
+    sum over the cube topology: for every occupied tile,
+    ``focal_n = n(tile) + sum(n over its 4 FACE_WRAP edge neighbors)`` —
+    the density feature a geo training pipeline attaches to documents
+    (how busy is this tile AND its surroundings), and the grid analog of a
+    3x3 convolution that classical rasters get for free but a sphere only
+    gets through the cube-face wrap (cellid.rs:336-347 edge_neighbors).
+
+    Plan shape: counts are ONE groupBy keyed by tile; the contribution
+    explode (each tile sends its count to itself + 4 neighbors) is a
+    narrow Arrow stage over the GRID-BOUNDED count table (<= 6*4^L rows at
+    any input scale), so the focal groupBy and the final equi-join shuffle
+    only grid-bounded data — the unbounded events table is touched exactly
+    once.  Output keys are grid coordinates (face, ti, tj): the
+    engine-independent key the oracle recomputes combinatorially via the
+    FACE_WRAP CASE tables (same machinery the vectorize oracles trust)."""
+    lvl = specs.FOCAL_LEVEL
+    docs = events_geo(spark, sf_dir)
+    counts = docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
+        F.count("*").alias("n")
+    )
+
+    def contrib(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            n = pdf["n"].to_numpy(np.int64)
+            nbrs = np.asarray(h.edge_neighbors(t.view(np.uint64))).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "target": np.concatenate([t, nbrs.reshape(-1)]),
+                    "c": np.concatenate([n, np.repeat(n, 4)]),
+                }
+            )
+
+    focal = (
+        counts.mapInPandas(contrib, schema="target long, c long")
+        .groupBy("target")
+        .agg(F.sum("c").alias("focal_n"))
+    )
+    out = counts.join(focal, counts["tile"] == focal["target"]).select(
+        "tile", "n", "focal_n"
+    )
+    sh = 30 - lvl
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+            yield pd.DataFrame(
+                {
+                    "face": face.astype(np.int32),
+                    "ti": i >> sh,
+                    "tj": j >> sh,
+                    "n": pdf["n"].to_numpy(np.int64),
+                    "focal_n": pdf["focal_n"].to_numpy(np.int64),
+                }
+            )
+
+    return out.mapInPandas(
+        decode, schema="face int, ti long, tj long, n long, focal_n long"
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -2477,6 +2547,7 @@ QUERIES = {
     "s2_distance_join": q_distance_join,
     "s2_spatial_cluster": q_spatial_cluster,
     "s2_dbscan": q_dbscan,
+    "s2_focal_density": q_focal_density,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -65,6 +65,11 @@ DISTANCE_JOIN_RADIUS = 0.014
 # exercises the all-noise degenerate branch.
 DBSCAN_MINPTS = 4
 
+# Focal-density grid level: level-4 tiles (6*256 = 1,536 cells) keep the
+# per-tile counts dense enough at the sf0.01 gate (~6.5 events/tile) that
+# the edge-neighbor focal sums are non-trivial everywhere on the sphere.
+FOCAL_LEVEL = 4
+
 
 # ---------------------------------------------------------------------------
 # Query regions (all literals; centers also embedded in oracle SQL)
