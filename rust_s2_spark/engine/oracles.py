@@ -422,8 +422,11 @@ contrib AS (
   UNION ALL
   SELECT tf, tti, ttj, n FROM nb2
 ),
-focal AS (SELECT tf, tti, ttj, sum(n) AS focal_n FROM contrib GROUP BY 1, 2, 3)
-SELECT base.face, base.ti, base.tj, base.n, focal.focal_n
+focal AS (
+  SELECT tf, tti, ttj, CAST(sum(n) AS BIGINT) AS focal_n
+  FROM contrib GROUP BY 1, 2, 3
+)
+SELECT CAST(base.face AS BIGINT) AS face, base.ti, base.tj, base.n, focal.focal_n
 FROM base JOIN focal
   ON base.face = focal.tf AND base.ti = focal.tti AND base.tj = focal.ttj
 """

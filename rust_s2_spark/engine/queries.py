@@ -2265,7 +2265,7 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
             yield pd.DataFrame(
                 {
-                    "face": face.astype(np.int32),
+                    "face": face,
                     "ti": i >> sh,
                     "tj": j >> sh,
                     "n": pdf["n"].to_numpy(np.int64),
@@ -2273,8 +2273,10 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # all-bigint schema: the driver's hash compare wants type-identical
+    # columns on both engines (tests/test_driver_contract.py)
     return out.mapInPandas(
-        decode, schema="face int, ti long, tj long, n long, focal_n long"
+        decode, schema="face long, ti long, tj long, n long, focal_n long"
     )
 
 
