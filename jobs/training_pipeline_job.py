@@ -14,6 +14,9 @@ a crash resumes from the last committed stage):
   curated        quality/language filter joined against the dedup survivors
   geo_cells      geo span extraction -> leaf cellid -> level-8 tile
   tile_stats     curated docs per tile (the training-mix geo balance view)
+  geo_density    rook focal sums over the cube topology (own + 4 FACE_WRAP
+                 edge-neighbor counts) — the smoothed per-tile density a
+                 geo-balanced sampler weights by
   footprint      occupied-tile mask vectorized into boundary rings
                  (raster -> vector: the corpus's geo coverage as geometry)
   ann_buckets    IVF bucket assignment for every embedding (the ANN index
@@ -137,6 +140,19 @@ def main(argv=None):
         )
 
     record(ck.materialize("tile_stats", tile_stats_fn, inputs=["geo_cells"], stage_version=ver))
+
+    # 5b. per-tile density features: rook focal sums over the cube topology
+    # (own count + 4 FACE_WRAP edge-neighbor counts) — the smoothed density
+    # a geo-balanced sampler weights by.  Grid-bounded input; every shuffle
+    # past the tile_stats read touches <= 6*4^L rows at any corpus size.
+    def geo_density_fn():
+        from rust_s2_spark.engine.tiling import focal_counts
+
+        return focal_counts(ck.read("tile_stats"), n_col="n_docs")
+
+    record(ck.materialize(
+        "geo_density", geo_density_fn, inputs=["tile_stats"], stage_version=ver
+    ))
 
     # 6. geographic footprint: vectorize the occupied-tile mask into its
     # boundary rings (raster -> vector) — the curated corpus's geographic

@@ -2232,29 +2232,7 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
         F.count("*").alias("n")
     )
-
-    def contrib(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            t = pdf["tile"].to_numpy(np.int64)
-            n = pdf["n"].to_numpy(np.int64)
-            nbrs = np.asarray(h.edge_neighbors(t.view(np.uint64))).view(np.int64)
-            yield pd.DataFrame(
-                {
-                    "target": np.concatenate([t, nbrs.reshape(-1)]),
-                    "c": np.concatenate([n, np.repeat(n, 4)]),
-                }
-            )
-
-    focal = (
-        counts.mapInPandas(contrib, schema="target long, c long")
-        .groupBy("target")
-        .agg(F.sum("c").alias("focal_n"))
-    )
-    out = counts.join(focal, counts["tile"] == focal["target"]).select(
-        "tile", "n", "focal_n"
-    )
+    out = tiling.focal_counts(counts)
     sh = 30 - lvl
 
     def decode(batches):

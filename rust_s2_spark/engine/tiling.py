@@ -261,3 +261,43 @@ def is_valid_col(cell: Column | str) -> Column:
     face_ok = F.shiftrightunsigned(cell, POS_BITS) < F.lit(NUM_FACES)
     lsb_ok = _lsb_col(cell).bitwiseAND(F.lit(0x1555555555555555)) != F.lit(0)
     return face_ok & lsb_ok
+
+
+def focal_counts(counts: DataFrame, tile_col: str = "tile", n_col: str = "n") -> DataFrame:
+    """Rook focal sum over a per-tile count table: for every tile present,
+    ``focal_n = n(tile) + sum(n over its 4 FACE_WRAP edge neighbors)`` —
+    the sphere's analog of a 3x3 convolution (cellid.rs:336-347 adjacency).
+
+    Input: (tile, n) with one row per occupied same-level cell.  The
+    contribution explode (each tile sends its count to itself + 4
+    neighbors) is a narrow Arrow stage over the GRID-BOUNDED count table
+    (<= 6*4^L rows at any corpus size), so the focal groupBy and the final
+    equi-join shuffle only grid-bounded data."""
+    from ..kernel import hierarchy
+
+    counts = counts.select(F.col(tile_col).alias("tile"), F.col(n_col).alias("n"))
+
+    def contrib(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            n = pdf["n"].to_numpy(np.int64)
+            nbrs = np.asarray(
+                hierarchy.edge_neighbors(t.view(np.uint64))
+            ).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "target": np.concatenate([t, nbrs.reshape(-1)]),
+                    "c": np.concatenate([n, np.repeat(n, 4)]),
+                }
+            )
+
+    focal = (
+        counts.mapInPandas(contrib, schema="target long, c long")
+        .groupBy("target")
+        .agg(F.sum("c").alias("focal_n"))
+    )
+    return counts.join(focal, counts["tile"] == focal["target"]).select(
+        "tile", "n", "focal_n"
+    )

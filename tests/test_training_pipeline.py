@@ -36,6 +36,13 @@ def test_pipeline_runs_and_resumes(spark, ckroot):
     assert 0 < st["curated"]["rows"] <= st["dedup"]["rows"]
     assert st["geo_cells"]["rows"] == st["curated"]["rows"]
     assert 0 < st["tile_stats"]["rows"] <= st["geo_cells"]["rows"]
+    # geo_density: one focal row per occupied tile; focal sum >= own count,
+    # and summing n over the emitted rows conserves the doc->tile mass
+    assert st["geo_density"]["rows"] == st["tile_stats"]["rows"]
+    gd = spark.read.parquet(f"{ckroot}/geo_density")
+    dens = gd.collect()
+    assert all(r["focal_n"] >= r["n"] > 0 for r in dens)
+    assert sum(r["n"] for r in dens) == st["geo_cells"]["rows"]
     # footprint: actual ring GEOMETRY (one row per boundary vertex) —
     # every ring has >= 4 unit-vector vertices in contiguous seq order
     assert st["footprint"]["rows"] >= 4
