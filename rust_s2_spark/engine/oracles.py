@@ -432,6 +432,25 @@ FROM base JOIN focal
 """
 
 
+def o_geo_sample() -> str:
+    """Deterministic per-tile top-K replayed exactly: the recursive-CTE
+    Hilbert encode gives each event's FOCAL_LEVEL tile, the shared LCG is
+    the order key (tie-broken by event_id), row_number caps at K."""
+    lvl = specs.FOCAL_LEVEL
+    ordkey = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")}
+, tiles AS (SELECT event_id, {_parent_from_pos(lvl)} AS tile FROM leaf)
+, ranked AS (
+  SELECT event_id, tile,
+    row_number() OVER (PARTITION BY tile ORDER BY {ordkey} ASC, event_id ASC) AS rk
+  FROM tiles
+)
+SELECT event_id, tile, rk FROM ranked WHERE rk <= {specs.GEO_SAMPLE_K}
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1693,6 +1712,7 @@ ORACLES = {
     "s2_spatial_cluster": o_spatial_cluster,
     "s2_dbscan": o_dbscan,
     "s2_focal_density": o_focal_density,
+    "s2_geo_sample": o_geo_sample,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

@@ -2258,6 +2258,34 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-balanced sampler: deterministic top-K events per FOCAL_LEVEL
+    tile — the training-mix cap that stops dense cities from dominating a
+    geo corpus (the consumer of the tile_stats/geo_density views).
+
+    Order within a tile is a SEEDED HASH (the shared LCG, replayable in
+    any engine), tie-broken by event_id, so the sample is reproducible and
+    engine-independent — never a physical-order LIMIT.  Plan shape: ONE
+    shuffle keyed by tile; Spark >= 3.5 rewrites the row_number filter
+    into WindowGroupLimit, so each map task keeps only its local top-K
+    before the exchange — at 100 TB the shuffle moves O(K * tiles), not
+    the corpus."""
+    lvl = specs.FOCAL_LEVEL
+    docs = events_geo(spark, sf_dir)
+    tiled = docs.select(
+        "event_id", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+    ordkey = (
+        F.col("event_id") * F.lit(specs.LCG_A) + F.lit(specs.LCG_C)
+    ) % F.lit(specs.LCG_M)
+    w = Window.partitionBy("tile").orderBy(ordkey.asc(), F.col("event_id").asc())
+    return (
+        tiled.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= specs.GEO_SAMPLE_K)
+        .select("event_id", "tile", "rk")
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -2528,6 +2556,7 @@ QUERIES = {
     "s2_spatial_cluster": q_spatial_cluster,
     "s2_dbscan": q_dbscan,
     "s2_focal_density": q_focal_density,
+    "s2_geo_sample": q_geo_sample,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

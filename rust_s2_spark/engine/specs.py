@@ -70,6 +70,10 @@ DBSCAN_MINPTS = 4
 # the edge-neighbor focal sums are non-trivial everywhere on the sphere.
 FOCAL_LEVEL = 4
 
+# Geo-balanced sampler: keep this many events per FOCAL_LEVEL tile (the
+# training-mix cap that stops dense cities from dominating the corpus).
+GEO_SAMPLE_K = 3
+
 
 # ---------------------------------------------------------------------------
 # Query regions (all literals; centers also embedded in oracle SQL)
