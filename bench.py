@@ -49,6 +49,7 @@ HEADLINE = [
     "s2_dbscan",
     "s2_focal_density",
     "s2_geo_sample",
+    "s2_trajectory_step",
     "s2_segment_distance",
     "s2_region_area_stats",
     "s2_covering_set_ops",

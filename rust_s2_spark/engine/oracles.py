@@ -451,6 +451,35 @@ SELECT event_id, tile, rk FROM ranked WHERE rk <= {specs.GEO_SAMPLE_K}
 """
 
 
+def o_trajectory_step() -> str:
+    """Per-user consecutive-step chord distances via lag() over the same
+    (ts, event_id) order; chord2 term order mirrors the Spark expression,
+    rounded to 7 dp (JVM/DuckDB trig differ by ulps)."""
+    xyz = (
+        "SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.x, p.y, p.z
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, event_id,
+    lag(event_id) OVER w AS prev_event,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id, prev_event,
+  round((x - px) * (x - px) + (y - py) * (y - py) + (z - pz) * (z - pz), 7) AS chord2_r
+FROM st WHERE prev_event IS NOT NULL
+"""
+
+
 def o_covering_set_ops() -> str:
     x1 = f"((event_id * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
     x2 = f"(({x1} * {specs.LCG_A} + {specs.LCG_C}) % {specs.LCG_M})"
@@ -1713,6 +1742,7 @@ ORACLES = {
     "s2_dbscan": o_dbscan,
     "s2_focal_density": o_focal_density,
     "s2_geo_sample": o_geo_sample,
+    "s2_trajectory_step": o_trajectory_step,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

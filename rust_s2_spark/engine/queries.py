@@ -2286,6 +2286,58 @@ def q_geo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trajectory_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory steps: for each user's events in (ts, event_id)
+    order, the squared chord distance from the previous event — the
+    movement primitive under speed filters, anomalous-jump detection, and
+    travel-distance rollups (trajectory analog of sessionize).
+
+    Emits one row PER STEP (never a per-user float SUM — an unordered
+    float aggregation would be nondeterministic across engines; a
+    downstream rollup can sum the rounded steps deterministically if it
+    sorts first).  chord2 mirrors the oracle's operation order term for
+    term; rounded to 7 dp because JVM and DuckDB libm trig differ by 1-4
+    ulp (the distance-join rationale).  Plan shape: ONE shuffle keyed by
+    user_id (the sessionize Exchange), lag + chord math in whole-stage
+    codegen."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = g.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    )
+    chord2 = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
+    )
+    return g.where(F.col("prev_event").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        F.round(chord2, 7).alias("chord2_r"),
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -2557,6 +2609,7 @@ QUERIES = {
     "s2_dbscan": q_dbscan,
     "s2_focal_density": q_focal_density,
     "s2_geo_sample": q_geo_sample,
+    "s2_trajectory_step": q_trajectory_step,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
