@@ -47,6 +47,8 @@ HEADLINE = [
     "s2_distance_join",
     "s2_spatial_cluster",
     "s2_dbscan",
+    "s2_cluster_stats",
+    "s2_cell_disk",
     "s2_focal_density",
     "s2_geo_sample",
     "s2_trajectory_step",

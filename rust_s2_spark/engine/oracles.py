@@ -327,14 +327,14 @@ FROM cc JOIN sizes USING (cluster_id)
 """
 
 
-def o_dbscan() -> str:
-    """Full DBSCAN replayed relationally: degree -> core (|N_eps| incl.
-    self >= minPts) -> recursive-CTE reachability over CORE-CORE edges only
-    (density-reachability restricted to cores is symmetric, so min
-    reachable core id per core = the Spark side's component minimum; a
-    singleton core seeds itself) -> border = non-core with a core
-    neighbor, taking the MIN cluster over its core neighbors -> everything
-    else noise with cluster -1.  Pair CTEs MATERIALIZED for the same
+def _dbscan_ctes() -> str:
+    """Shared DBSCAN CTE prefix (through cc + border), used by o_dbscan and
+    o_cluster_stats: degree -> core (|N_eps| incl. self >= minPts) ->
+    recursive-CTE reachability over CORE-CORE edges only (density-
+    reachability restricted to cores is symmetric, so min reachable core id
+    per core = the Spark side's component minimum; a singleton core seeds
+    itself) -> border = non-core with a core neighbor, taking the MIN
+    cluster over its core neighbors.  Pair CTEs MATERIALIZED for the same
     reason as o_spatial_cluster (DuckDB re-evaluates non-materialized CTEs
     per recursive iteration)."""
     import math
@@ -376,6 +376,14 @@ border AS (
   WHERE pr.ea NOT IN (SELECT node FROM core)
   GROUP BY pr.ea
 )
+"""
+
+
+def o_dbscan() -> str:
+    """Full DBSCAN replayed relationally over the shared CTE prefix; every
+    event not labeled core/border is noise with cluster -1."""
+    return f"""
+{_dbscan_ctes().strip()}
 SELECT e.event_id,
   CASE WHEN cc.node IS NOT NULL THEN 'core'
        WHEN b.node IS NOT NULL THEN 'border'
@@ -384,6 +392,80 @@ SELECT e.event_id,
 FROM events e
 LEFT JOIN cc ON cc.node = e.event_id
 LEFT JOIN border b ON b.node = e.event_id
+"""
+
+
+def o_cluster_stats() -> str:
+    """Per-cluster summaries over the DBSCAN labeling: member/core counts,
+    min event_id, and the lat/lng bbox — min/max over the derived DEGREES
+    (pure LCG arithmetic, no trig), so every output value is
+    order-independent-exact and needs no rounding."""
+    return f"""
+{_dbscan_ctes().strip()},
+members AS (
+  SELECT node AS event_id, cluster_id, 1 AS is_core FROM cc
+  UNION ALL
+  SELECT node, cluster_id, 0 FROM border
+)
+SELECT m.cluster_id,
+  count(*) AS n_points,
+  CAST(sum(m.is_core) AS BIGINT) AS n_core,
+  min(m.event_id) AS rep_id,
+  min(p.lat) AS lat_lo, max(p.lat) AS lat_hi,
+  min(p.lng) AS lng_lo, max(p.lng) AS lng_hi
+FROM members m JOIN pts p ON p.event_id = m.event_id
+GROUP BY m.cluster_id
+"""
+
+
+def o_cell_disk() -> str:
+    """kRing disk replayed combinatorially in grid space: level-DISK_LEVEL
+    counts via the non-recursive encode prefix -> per-face densest seed
+    (ties (ti, tj) ascending, exactly the Spark ordering) -> DISK_K-bounded
+    recursive BFS stepping rook directions with the FACE_WRAP CASE tables ->
+    min(ring) per reached cell -> left-join counts (0 when unoccupied)."""
+    lvl = specs.DISK_LEVEL
+    n = 1 << lvl
+    shift = 30 - lvl
+    in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj, count(*) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+seeds AS (
+  SELECT face AS seed_face, face, ti, tj FROM (
+    SELECT *, row_number() OVER (PARTITION BY face ORDER BY n DESC, ti ASC, tj ASC) AS rk
+    FROM base
+  ) t WHERE rk = 1
+),
+bfs(seed_face, face, ti, tj, ring) AS (
+  SELECT seed_face, face, ti, tj, 0 FROM seeds
+  UNION
+  SELECT seed_face,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END,
+    ring + 1
+  FROM (
+    SELECT w.seed_face, w.face, w.ti, w.tj, w.ring, dirs.d,
+      w.ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+      w.tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+    FROM bfs w, (VALUES (0),(1),(2),(3)) dirs(d)
+    WHERE w.ring < {specs.DISK_K}
+  ) s
+),
+disk AS (
+  SELECT seed_face, face, ti, tj, min(ring) AS ring
+  FROM bfs GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(d.seed_face AS BIGINT) AS seed_face, CAST(d.face AS BIGINT) AS face,
+  d.ti, d.tj, CAST(d.ring AS BIGINT) AS ring,
+  CAST(coalesce(b.n, 0) AS BIGINT) AS n
+FROM disk d
+LEFT JOIN base b ON d.face = b.face AND d.ti = b.ti AND d.tj = b.tj
 """
 
 
@@ -1740,6 +1822,8 @@ ORACLES = {
     "s2_distance_join": o_distance_join,
     "s2_spatial_cluster": o_spatial_cluster,
     "s2_dbscan": o_dbscan,
+    "s2_cluster_stats": o_cluster_stats,
+    "s2_cell_disk": o_cell_disk,
     "s2_focal_density": o_focal_density,
     "s2_geo_sample": o_geo_sample,
     "s2_trajectory_step": o_trajectory_step,

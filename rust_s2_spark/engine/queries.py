@@ -2194,6 +2194,147 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DBSCAN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster summaries over the DBSCAN labeling — the curation view a
+    training pipeline samples from ("how big is each spatial cluster, where
+    is it, which doc represents it").  For every non-noise cluster: member
+    count, core count, representative (minimum event_id), and the lat/lng
+    bounding box.
+
+    Every aggregate is ORDER-INDEPENDENT-EXACT: counts are integers, the
+    representative is an integer min, and the bbox is min/max over the
+    derived lat/lng DEGREES (pure LCG +*/ arithmetic — no trig), so both
+    engines agree bit-for-bit with no rounding anywhere.
+
+    Plan shape: the memoized DBSCAN labels join events_geo on event_id (the
+    key both sides already carry), then ONE groupBy on cluster_id with
+    map-side partial min/max/count — a continent-sized cluster reduces to
+    one row per map task before the exchange, so no cluster is a straggler."""
+    lab = q_dbscan(spark, sf_dir).where(F.col("cluster_id") >= 0)
+    pts = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    return (
+        lab.join(pts, on="event_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("long")
+            .alias("n_core"),
+            F.min("event_id").alias("rep_id"),
+            F.min("lat").alias("lat_lo"),
+            F.max("lat").alias("lat_hi"),
+            F.min("lng").alias("lng_lo"),
+            F.max("lng").alias("lng_hi"),
+        )
+    )
+
+
+def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kRing cell disk (the H3 gridDiskDistances analog on the S2 grid):
+    for each face's densest DISK_LEVEL tile, every cell within DISK_K rook
+    steps over the cube topology, with its ring distance (min #steps,
+    crossing face borders via the FACE_WRAP transforms) and its event count
+    (0 for unoccupied ring cells — the disk is a GRID neighborhood, not an
+    occupancy query).
+
+    Seeds are deterministic: per face, max count, ties broken by (ti, tj)
+    ascending — grid coordinates, so the oracle replays the ordering without
+    a Hilbert encode.  BFS is DISK_K chained map stages over grid-bounded
+    frames (each ≤ 6·4^DISK_K rows at ANY corpus size): the unbounded events
+    table is touched exactly once, by the counts groupBy
+    (cellid.rs:336-347 edge_neighbors supplies the step)."""
+    lvl = specs.DISK_LEVEL
+    sh = 30 - lvl
+
+    def _counts():
+        docs = events_geo(spark, sf_dir)
+        raw = docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
+            F.count("*").alias("n")
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                t = pdf["tile"].to_numpy(np.int64)
+                face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+                yield pd.DataFrame(
+                    {
+                        "tile": t,
+                        "face": face.astype(np.int64),
+                        "ti": (i >> sh).astype(np.int64),
+                        "tj": (j >> sh).astype(np.int64),
+                        "n": pdf["n"].to_numpy(np.int64),
+                    }
+                )
+
+        return raw.mapInPandas(
+            decode, schema="tile long, face long, ti long, tj long, n long"
+        )
+
+    counts = _aux_persisted(spark, sf_dir, f"disk_counts_l{lvl}", _counts)
+
+    w = Window.partitionBy("face").orderBy(
+        F.col("n").desc(), F.col("ti").asc(), F.col("tj").asc()
+    )
+    seeds = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("face").alias("seed_face"), "tile")
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            sfc = pdf["seed_face"].to_numpy(np.int64)
+            nbrs = np.asarray(h.edge_neighbors(t.view(np.uint64))).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "seed_face": np.repeat(sfc, 4),
+                    "tile": nbrs.reshape(-1),
+                }
+            )
+
+    cur = seeds
+    disk = seeds.withColumn("ring", F.lit(0).cast("long"))
+    for r in range(1, specs.DISK_K + 1):
+        cur = cur.mapInPandas(expand, schema="seed_face long, tile long").distinct()
+        disk = disk.unionByName(cur.withColumn("ring", F.lit(r).cast("long")))
+    disk = disk.groupBy("seed_face", "tile").agg(F.min("ring").alias("ring"))
+
+    def decode_out(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+            yield pd.DataFrame(
+                {
+                    "seed_face": pdf["seed_face"].to_numpy(np.int64),
+                    "face": face.astype(np.int64),
+                    "ti": (i >> sh).astype(np.int64),
+                    "tj": (j >> sh).astype(np.int64),
+                    "ring": pdf["ring"].to_numpy(np.int64),
+                    "tile": t,
+                }
+            )
+
+    decoded = disk.mapInPandas(
+        decode_out,
+        schema="seed_face long, face long, ti long, tj long, ring long, tile long",
+    )
+    return decoded.join(counts.select("tile", "n"), on="tile", how="left").select(
+        "seed_face",
+        "face",
+        "ti",
+        "tj",
+        "ring",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )
+
+
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2607,6 +2748,8 @@ QUERIES = {
     "s2_distance_join": q_distance_join,
     "s2_spatial_cluster": q_spatial_cluster,
     "s2_dbscan": q_dbscan,
+    "s2_cluster_stats": q_cluster_stats,
+    "s2_cell_disk": q_cell_disk,
     "s2_focal_density": q_focal_density,
     "s2_geo_sample": q_geo_sample,
     "s2_trajectory_step": q_trajectory_step,

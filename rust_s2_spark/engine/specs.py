@@ -28,11 +28,20 @@ LCG_M = 2147483647  # 2^31 - 1
 
 
 def latlng_sql(id_col: str = "event_id") -> tuple[str, str]:
-    """SQL fragments (lat, lng) — valid in both Spark SQL and DuckDB."""
+    """SQL fragments (lat, lng) — valid in both Spark SQL and DuckDB.
+
+    The divisor is CAST to DOUBLE: Spark parses a bare ``1000.0`` literal as
+    DECIMAL(5,1) and would produce an exact-rational DECIMAL lat/lng column,
+    which double-rounds DIFFERENTLY (once, from the exact value) than the
+    IEEE chain numpy and DuckDB execute (divide-round then subtract-round) —
+    up to 2 ulp apart on a small fraction of ids.  With the cast, all three
+    engines run the identical double op sequence and agree bit-for-bit,
+    which order-independent-exact aggregates (min/max bbox in
+    s2_cluster_stats) rely on."""
     x1 = f"(({id_col} * {LCG_A} + {LCG_C}) % {LCG_M})"
     x2 = f"(({x1} * {LCG_A} + {LCG_C}) % {LCG_M})"
-    lat = f"(({x1} % 170001) / 1000.0 - 85.0)"
-    lng = f"(({x2} % 360000) / 1000.0 - 180.0)"
+    lat = f"(({x1} % 170001) / CAST(1000.0 AS DOUBLE) - 85.0)"
+    lng = f"(({x2} % 360000) / CAST(1000.0 AS DOUBLE) - 180.0)"
     return lat, lng
 
 
@@ -73,6 +82,12 @@ FOCAL_LEVEL = 4
 # Geo-balanced sampler: keep this many events per FOCAL_LEVEL tile (the
 # training-mix cap that stops dense cities from dominating the corpus).
 GEO_SAMPLE_K = 3
+
+# Cell-disk (kRing) query: grid level and ring radius.  Level 6 matches the
+# distance join's adjacency level (6*4^6 = 24,576 cells — still grid-bounded);
+# 3 rings is the H3 gridDiskDistances-style neighborhood a feature join pulls.
+DISK_LEVEL = 6
+DISK_K = 3
 
 
 # ---------------------------------------------------------------------------
