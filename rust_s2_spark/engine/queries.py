@@ -2186,7 +2186,14 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_id"
             ),
         )
+        # persist the LABELS, not just the epsilon-graph intermediates:
+        # s2_dbscan re-reads them every warm pass and s2_cluster_stats
+        # aggregates over them — without this both re-run the border
+        # assignment (two joins + a groupBy) per evaluation.  One row per
+        # event, same footprint as the edge persist above.
+        .persist()
     )
+    _AUX_PERSISTS.append(out)
     _DBSCAN_RESULT_CACHE[key] = out
     return out
 
