@@ -49,6 +49,8 @@ HEADLINE = [
     "s2_dbscan",
     "s2_cluster_stats",
     "s2_cell_disk",
+    "s2_cell_compact",
+    "dedup_cluster",
     "s2_focal_density",
     "s2_geo_sample",
     "s2_trajectory_step",

@@ -1716,7 +1716,40 @@ def o_minhash_lsh() -> str:
         ]
     est = terms[0]
     return f"""
-WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b, est_sim FROM scored
+"""
+
+
+def _minhash_ctes() -> str:
+    """Shared MinHash-LSH CTE chain through ``scored`` (doc_a, doc_b,
+    est_sim) — the candidate pairs with their exact signature-agreement
+    estimate, used by o_minhash_lsh and o_dedup_cluster."""
+    n_perm, bands, rows_per = 128, 16, 8
+    fold = _CHAR_FOLD.format(col="g")
+    mins = ", ".join(
+        f"min((gh * {2 * i + 1} + {i * 7919 + 1}) % {specs.FP_MOD}) AS m{i}"
+        for i in range(n_perm)
+    )
+    band_selects = []
+    for bnd in range(bands):
+        parts = " || '_' || ".join(
+            f"CAST(m{bnd * rows_per + r} AS VARCHAR)" for r in range(rows_per)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band_idx, md5({parts}) AS bk FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    # balanced sum tree: a left-deep 128-term chain trips DuckDB's binder
+    # recursion limit (max depth 128)
+    terms = [f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(n_perm)]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    est = terms[0]
+    return f"""toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, g
   FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
@@ -1734,12 +1767,80 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bk = b.bk
   WHERE a.doc_id < b.doc_id
+),
+scored AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+    round(CAST({est} AS DOUBLE) / {n_perm}, 6) AS est_sim
+  FROM cand
+  JOIN (SELECT doc_id AS doc_a, * EXCLUDE (doc_id) FROM sig) sa USING (doc_a)
+  JOIN (SELECT doc_id AS doc_b, * EXCLUDE (doc_id) FROM sig) sb USING (doc_b)
+)"""
+
+
+def o_dedup_cluster() -> str:
+    """Near-dup clustering replay: dup edges = scored pairs at
+    est_sim >= DEDUP_SIM_THRESHOLD, components by recursive-CTE
+    reachability (min reachable id per node, the Spark hash-min fixpoint),
+    then every document labeled with its canonical id and cluster size
+    (itself / 1 when unique).  Dup components are replica groups — a few
+    docs each — so the size^2 walk is trivially bounded."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+dup AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM scored WHERE est_sim >= {specs.f(specs.DEDUP_SIM_THRESHOLD)}
+),
+sym AS MATERIALIZED (SELECT u, v FROM dup UNION ALL SELECT v, u FROM dup),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, count(*) AS csz FROM cc GROUP BY cluster_id)
+SELECT d.doc_id,
+  coalesce(cc.cluster_id, d.doc_id) AS canonical_id,
+  CAST(coalesce(s.csz, 1) AS BIGINT) AS cluster_size,
+  coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN cc ON cc.node = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = cc.cluster_id
+"""
+
+
+def o_cell_compact() -> str:
+    """Compaction replayed in closed form: level-COMPACT_LEVEL counts via
+    the non-recursive encode prefix -> one grouped explode over all
+    ancestor levels (quadtree parent = coordinate right-shift) -> complete
+    = all 4^(L-l) leaf descendants occupied -> keep complete cells whose
+    parent is not complete.  No recursion anywhere."""
+    lvl = specs.COMPACT_LEVEL
+    shift = 30 - lvl
+    levels_values = ", ".join(f"({l})" for l in range(lvl + 1))
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj, count(*) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+anc AS (
+  SELECT lv.l AS level, face,
+    ti >> ({lvl} - lv.l) AS ti_l, tj >> ({lvl} - lv.l) AS tj_l,
+    count(*) AS n_tiles, CAST(sum(n) AS BIGINT) AS n_events
+  FROM base, (VALUES {levels_values}) lv(l)
+  GROUP BY 1, 2, 3, 4
+),
+comp AS (
+  SELECT * FROM anc WHERE n_tiles = (CAST(1 AS BIGINT) << (2 * ({lvl} - level)))
 )
-SELECT doc_a, doc_b,
-  round(CAST({est} AS DOUBLE) / {n_perm}, 6) AS est_sim
-FROM cand
-JOIN (SELECT doc_id AS doc_a, * EXCLUDE (doc_id) FROM sig) sa USING (doc_a)
-JOIN (SELECT doc_id AS doc_b, * EXCLUDE (doc_id) FROM sig) sb USING (doc_b)
+SELECT CAST(c.level AS BIGINT) AS level, CAST(c.face AS BIGINT) AS face,
+  c.ti_l AS ti, c.tj_l AS tj, c.n_tiles, c.n_events
+FROM comp c
+LEFT JOIN comp p
+  ON p.level = c.level - 1 AND p.face = c.face
+ AND p.ti_l = (c.ti_l >> 1) AND p.tj_l = (c.tj_l >> 1)
+WHERE p.level IS NULL
 """
 
 
@@ -1824,6 +1925,8 @@ ORACLES = {
     "s2_dbscan": o_dbscan,
     "s2_cluster_stats": o_cluster_stats,
     "s2_cell_disk": o_cell_disk,
+    "s2_cell_compact": o_cell_compact,
+    "dedup_cluster": o_dedup_cluster,
     "s2_focal_density": o_focal_density,
     "s2_geo_sample": o_geo_sample,
     "s2_trajectory_step": o_trajectory_step,

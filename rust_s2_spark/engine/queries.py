@@ -2236,21 +2236,12 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kRing cell disk (the H3 gridDiskDistances analog on the S2 grid):
-    for each face's densest DISK_LEVEL tile, every cell within DISK_K rook
-    steps over the cube topology, with its ring distance (min #steps,
-    crossing face borders via the FACE_WRAP transforms) and its event count
-    (0 for unoccupied ring cells — the disk is a GRID neighborhood, not an
-    occupancy query).
-
-    Seeds are deterministic: per face, max count, ties broken by (ti, tj)
-    ascending — grid coordinates, so the oracle replays the ordering without
-    a Hilbert encode.  BFS is DISK_K chained map stages over grid-bounded
-    frames (each ≤ 6·4^DISK_K rows at ANY corpus size): the unbounded events
-    table is touched exactly once, by the counts groupBy
-    (cellid.rs:336-347 edge_neighbors supplies the step)."""
-    lvl = specs.DISK_LEVEL
+def _grid_counts(spark: SparkSession, sf_dir: str, lvl: int) -> DataFrame:
+    """Occupied level-``lvl`` tiles with event counts and decoded grid
+    coordinates (tile, face, ti, tj, n) — the shared, session-persisted
+    base table for the grid-space queries (cell disk, compaction).  One
+    groupBy over the tiled events + one Arrow decode of the DISTINCT tile
+    set (grid-bounded: ≤ 6·4^lvl rows at any corpus size)."""
     sh = 30 - lvl
 
     def _counts():
@@ -2279,7 +2270,26 @@ def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode, schema="tile long, face long, ti long, tj long, n long"
         )
 
-    counts = _aux_persisted(spark, sf_dir, f"disk_counts_l{lvl}", _counts)
+    return _aux_persisted(spark, sf_dir, f"grid_counts_l{lvl}", _counts)
+
+
+def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kRing cell disk (the H3 gridDiskDistances analog on the S2 grid):
+    for each face's densest DISK_LEVEL tile, every cell within DISK_K rook
+    steps over the cube topology, with its ring distance (min #steps,
+    crossing face borders via the FACE_WRAP transforms) and its event count
+    (0 for unoccupied ring cells — the disk is a GRID neighborhood, not an
+    occupancy query).
+
+    Seeds are deterministic: per face, max count, ties broken by (ti, tj)
+    ascending — grid coordinates, so the oracle replays the ordering without
+    a Hilbert encode.  BFS is DISK_K chained map stages over grid-bounded
+    frames (each ≤ 6·4^DISK_K rows at ANY corpus size): the unbounded events
+    table is touched exactly once, by the counts groupBy
+    (cellid.rs:336-347 edge_neighbors supplies the step)."""
+    lvl = specs.DISK_LEVEL
+    sh = 30 - lvl
+    counts = _grid_counts(spark, sf_dir, lvl)
 
     w = Window.partitionBy("face").orderBy(
         F.col("n").desc(), F.col("ti").asc(), F.col("tj").asc()
@@ -2304,10 +2314,14 @@ def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # No per-ring distinct: every rook path of length r <= DISK_K is
+    # enumerated (4^DISK_K rows per seed at most — grid-bounded, never
+    # data-bounded), and the single min(ring) groupBy below collapses them
+    # to the true BFS distance.  Three shuffles saved per invocation.
     cur = seeds
     disk = seeds.withColumn("ring", F.lit(0).cast("long"))
     for r in range(1, specs.DISK_K + 1):
-        cur = cur.mapInPandas(expand, schema="seed_face long, tile long").distinct()
+        cur = cur.mapInPandas(expand, schema="seed_face long, tile long")
         disk = disk.unionByName(cur.withColumn("ring", F.lit(r).cast("long")))
     disk = disk.groupBy("seed_face", "tile").agg(F.min("ring").alias("ring"))
 
@@ -2339,6 +2353,113 @@ def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tj",
         "ring",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-union compaction (the H3 compactCells analog; semantics of
+    CellUnion.normalize, cellunion.rs:82-124, applied to the occupied
+    level-COMPACT_LEVEL tile set): the minimal set of cells, of any level
+    ≤ COMPACT_LEVEL, covering exactly the occupied tiles — 4 complete
+    siblings are replaced by their parent, recursively.
+
+    CLOSED FORM, no iteration: the S2 parent in (face, i, j) space is the
+    quadtree parent (ti >> 1, tj >> 1), and an ancestor is "complete" iff
+    ALL 4^(L-l) of its level-L descendants are occupied — completeness is
+    monotone down the tree, so the compacted set is exactly {complete cells
+    whose parent is not complete}.  One explode over the L+1 ancestor
+    levels of the grid-bounded counts table, one groupBy, one self-anti-join
+    — vs the reference's (and H3's) sequential sort-and-scan, which has no
+    distributed analog.
+
+    Output per kept cell: level, face, (ti, tj at that level), n_tiles
+    (occupied leaf descendants = 4^(L-level) by construction), n_events."""
+    lvl = specs.COMPACT_LEVEL
+    counts = _grid_counts(spark, sf_dir, lvl)
+    anc = (
+        counts.select(
+            F.explode(F.expr(f"sequence(0, {lvl})")).alias("level"),
+            "face",
+            "ti",
+            "tj",
+            "n",
+        )
+        .select(
+            "level",
+            "face",
+            F.expr(f"shiftright(ti, {lvl} - level)").alias("ti_l"),
+            F.expr(f"shiftright(tj, {lvl} - level)").alias("tj_l"),
+            "n",
+        )
+        .groupBy("level", "face", "ti_l", "tj_l")
+        .agg(F.count("*").alias("n_tiles"), F.sum("n").alias("n_events"))
+    )
+    comp = anc.where(
+        F.expr(f"n_tiles = shiftleft(CAST(1 AS BIGINT), 2 * ({lvl} - level))")
+    ).persist()
+    _AUX_PERSISTS.append(comp)
+    parents = comp.select(
+        (F.col("level") + 1).alias("level"),
+        F.col("face").alias("pf"),
+        F.col("ti_l").alias("pti"),
+        F.col("tj_l").alias("ptj"),
+    )
+    kept = comp.join(
+        parents,
+        on=[
+            comp["level"] == parents["level"],
+            comp["face"] == parents["pf"],
+            F.expr("shiftright(ti_l, 1)") == parents["pti"],
+            F.expr("shiftright(tj_l, 1)") == parents["ptj"],
+        ],
+        how="left_anti",
+    )
+    return kept.select(
+        F.col("level").cast("long").alias("level"),
+        F.col("face").cast("long").alias("face"),
+        F.col("ti_l").alias("ti"),
+        F.col("tj_l").alias("tj"),
+        "n_tiles",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup document clustering — the step a real training-data dedup
+    pipeline runs AFTER candidate generation: MinHash-LSH pairs at
+    est_sim >= DEDUP_SIM_THRESHOLD are dup edges, connected components over
+    them are the dup clusters, and every document maps to a canonical id
+    (the component minimum; itself when unique).  The downstream keep-filter
+    is then just ``doc_id = canonical_id``.
+
+    Plan shape: the pair table is the (already skew-capped) LSH output —
+    tiny relative to the corpus; the component loop contracts geometrically
+    (engine/cluster.py); the final labeling is ONE left join of the corpus
+    against the labels on doc_id.  No stage is keyed by cluster size."""
+    from .cluster import connected_components
+
+    pairs = q_minhash_lsh(spark, sf_dir).where(
+        F.col("est_sim") >= F.lit(specs.DEDUP_SIM_THRESHOLD)
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("csz"))
+    lbl = cc.join(sizes, on="cluster")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        lbl.select(
+            F.col("node").alias("doc_id"),
+            F.col("cluster").alias("c"),
+            "csz",
+        ),
+        on="doc_id",
+        how="left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("c"), F.col("doc_id")).alias("canonical_id"),
+        F.coalesce(F.col("csz"), F.lit(1).cast("long")).alias("cluster_size"),
+        (F.coalesce(F.col("c"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
     )
 
 
@@ -2757,6 +2878,8 @@ QUERIES = {
     "s2_dbscan": q_dbscan,
     "s2_cluster_stats": q_cluster_stats,
     "s2_cell_disk": q_cell_disk,
+    "s2_cell_compact": q_cell_compact,
+    "dedup_cluster": q_dedup_cluster,
     "s2_focal_density": q_focal_density,
     "s2_geo_sample": q_geo_sample,
     "s2_trajectory_step": q_trajectory_step,

@@ -89,6 +89,17 @@ GEO_SAMPLE_K = 3
 DISK_LEVEL = 6
 DISK_K = 3
 
+# Cell-union compaction (the H3 compactCells analog): leaf level of the
+# occupied-tile set.  Level 6 shares the cell-disk counts table; at gate
+# density a meaningful fraction of level-5 parents are complete, so the
+# compaction genuinely climbs the tree.
+COMPACT_LEVEL = 6
+
+# Near-dup doc clustering: MinHash candidate pairs at or above this
+# estimated Jaccard are dup edges; connected components over them define
+# the dup clusters (canonical doc = component minimum doc_id).
+DEDUP_SIM_THRESHOLD = 0.5
+
 
 # ---------------------------------------------------------------------------
 # Query regions (all literals; centers also embedded in oracle SQL)

@@ -211,6 +211,66 @@ def main() -> int:
           f"core={n_core} border={n_border} "
           f"(spark {t_spark:.1f}s, reference {t_ref:.1f}s)")
 
+    # --- 4. cluster stats -------------------------------------------------
+    # aggregates over the verified DBSCAN labels: every output is
+    # order-independent-exact (integer counts/mins, min/max over the derived
+    # lat/lng doubles), so the comparison is bit-exact with no rounding.
+    t0 = time.time()
+    import pandas as pd
+
+    mem_ids = np.array(
+        [n for n, (role, _) in want_db.items() if role != "noise"], np.int64
+    )
+    lat, lng = specs.latlng_np(mem_ids)
+    mem = pd.DataFrame(
+        {
+            "event_id": mem_ids,
+            "cluster_id": [want_db[int(n)][1] for n in mem_ids.tolist()],
+            "is_core": [want_db[int(n)][0] == "core" for n in mem_ids.tolist()],
+            "lat": lat,
+            "lng": lng,
+        }
+    )
+    want_st = (
+        mem.groupby("cluster_id")
+        .agg(
+            n_points=("event_id", "size"),
+            n_core=("is_core", "sum"),
+            rep_id=("event_id", "min"),
+            lat_lo=("lat", "min"),
+            lat_hi=("lat", "max"),
+            lng_lo=("lng", "min"),
+            lng_hi=("lng", "max"),
+        )
+        .reset_index()
+        .sort_values("cluster_id", ignore_index=True)
+    )
+    t_ref = time.time() - t0
+    t0 = time.time()
+    sps = (
+        QUERIES["s2_cluster_stats"](spark, sf_dir)
+        .toPandas()
+        .sort_values("cluster_id", ignore_index=True)
+    )
+    t_spark = time.time() - t0
+    st_ok = len(sps) == len(want_st)
+    if st_ok:
+        for c in ("cluster_id", "n_points", "n_core", "rep_id"):
+            st_ok &= bool(
+                (sps[c].to_numpy(np.int64) == want_st[c].to_numpy(np.int64)).all()
+            )
+        for c in ("lat_lo", "lat_hi", "lng_lo", "lng_hi"):
+            st_ok &= bool((sps[c].to_numpy() == want_st[c].to_numpy()).all())
+    results["s2_cluster_stats"] = {
+        "status": "pass" if st_ok else "fail",
+        "rows": int(len(sps)),
+        "spark_sec": round(t_spark, 1),
+        "oracle_sec": round(t_ref, 1),
+        "oracle": "pandas groupby over the verified labels, bit-exact bbox",
+    }
+    print(f"{'PASS' if st_ok else 'FAIL'} s2_cluster_stats: rows={len(sps)} "
+          f"(spark {t_spark:.1f}s, reference {t_ref:.1f}s)")
+
     clear_geo_cache()
     _write(results)
     n_fail = sum(1 for r in results.values() if r["status"] != "pass")
@@ -232,8 +292,9 @@ def _write(results: dict) -> None:
             "61-node sf0.01 components, 40+ GB at sf0.1, hopeless at sf1's "
             "~300k-node lattices), so the scale checker is the classic "
             "offline one: DuckDB lat-band brute-force pairs + "
-            "path-compressed union-find + numpy role classification, all "
-            "compared EXACTLY (ids, 7-dp chord2, roles, cluster ids, sizes)"
+            "path-compressed union-find + numpy role classification + pandas "
+            "per-cluster aggregates, all compared EXACTLY (ids, 7-dp chord2, "
+            "roles, cluster ids, sizes, bit-exact bbox doubles)"
         ),
         "dataset": _DATASET,
         "results": results,
