@@ -134,6 +134,7 @@ def clear_geo_cache() -> None:
     _DISTANCE_RESULT_CACHE.clear()
     _CLUSTER_RESULT_CACHE.clear()
     _DBSCAN_RESULT_CACHE.clear()
+    _DEDUP_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
     _READ_CACHE.clear()
@@ -2435,7 +2436,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the pair table is the (already skew-capped) LSH output —
     tiny relative to the corpus; the component loop contracts geometrically
     (engine/cluster.py); the final labeling is ONE left join of the corpus
-    against the labels on doc_id.  No stage is keyed by cluster size."""
+    against the labels on doc_id.  No stage is keyed by cluster size.
+
+    Memoized per (session, dataset) with the result persisted, like the
+    other component queries: the label table is the pipeline's checkpoint
+    artifact — the iterative search must run once, not once per consumer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DEDUP_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
     from .cluster import connected_components
 
     pairs = q_minhash_lsh(spark, sf_dir).where(
@@ -2445,22 +2454,32 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = cc.groupBy("cluster").agg(F.count("*").alias("csz"))
     lbl = cc.join(sizes, on="cluster")
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(
-        lbl.select(
-            F.col("node").alias("doc_id"),
-            F.col("cluster").alias("c"),
-            "csz",
-        ),
-        on="doc_id",
-        how="left",
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("c"), F.col("doc_id")).alias("canonical_id"),
-        F.coalesce(F.col("csz"), F.lit(1).cast("long")).alias("cluster_size"),
-        (F.coalesce(F.col("c"), F.col("doc_id")) == F.col("doc_id")).alias(
-            "is_canonical"
-        ),
+    out = (
+        docs.join(
+            lbl.select(
+                F.col("node").alias("doc_id"),
+                F.col("cluster").alias("c"),
+                "csz",
+            ),
+            on="doc_id",
+            how="left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c"), F.col("doc_id")).alias("canonical_id"),
+            F.coalesce(F.col("csz"), F.lit(1).cast("long")).alias("cluster_size"),
+            (F.coalesce(F.col("c"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .persist()
     )
+    _AUX_PERSISTS.append(out)
+    _DEDUP_RESULT_CACHE[key] = out
+    return out
+
+
+_DEDUP_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 _KNN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
