@@ -50,6 +50,7 @@ HEADLINE = [
     "s2_cluster_stats",
     "s2_cell_disk",
     "s2_cell_compact",
+    "s2_tile_pyramid",
     "dedup_cluster",
     "s2_focal_density",
     "s2_geo_sample",

@@ -469,6 +469,39 @@ LEFT JOIN base b ON d.face = b.face AND d.ti = b.ti AND d.tj = b.tj
 """
 
 
+def o_tile_pyramid() -> str:
+    """Pyramid rollup replayed: leaf counts via the encode prefix -> one
+    grouped explode over the PYRAMID_LEVELS (quadtree ancestor =
+    coordinate right-shift) -> left self-join on the level-(l-2) parent for
+    the share (bigint/bigint IEEE division, bit-identical across engines;
+    level-0 rows have no parent)."""
+    lvl = specs.COMPACT_LEVEL
+    shift = 30 - lvl
+    levels_values = ", ".join(f"({l})" for l in specs.PYRAMID_LEVELS)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj, count(*) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+pyr AS (
+  SELECT lv.l AS level, face,
+    ti >> ({lvl} - lv.l) AS ti_l, tj >> ({lvl} - lv.l) AS tj_l,
+    CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_tiles
+  FROM base, (VALUES {levels_values}) lv(l)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(c.level AS BIGINT) AS level, CAST(c.face AS BIGINT) AS face,
+  c.ti_l AS ti, c.tj_l AS tj, c.n_events, c.n_tiles,
+  CAST(c.n_events AS DOUBLE) / p.n_events AS frac_of_parent
+FROM pyr c
+LEFT JOIN pyr p
+  ON p.level = c.level - 2 AND p.face = c.face
+ AND p.ti_l = (c.ti_l >> 2) AND p.tj_l = (c.tj_l >> 2)
+"""
+
+
 def o_focal_density() -> str:
     """Edge-neighbor focal sum replayed combinatorially: events -> leaf
     (face,i,j) via the non-recursive encode prefix -> level-FOCAL_LEVEL
@@ -1926,6 +1959,7 @@ ORACLES = {
     "s2_cluster_stats": o_cluster_stats,
     "s2_cell_disk": o_cell_disk,
     "s2_cell_compact": o_cell_compact,
+    "s2_tile_pyramid": o_tile_pyramid,
     "dedup_cluster": o_dedup_cluster,
     "s2_focal_density": o_focal_density,
     "s2_geo_sample": o_geo_sample,

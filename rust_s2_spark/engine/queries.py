@@ -2437,6 +2437,69 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup — the tile-server / heatmap workload:
+    event counts at every PYRAMID_LEVELS zoom level in ONE pass, each tile
+    carrying its occupied-leaf count and its share of its pyramid parent
+    (the level two above; quadtree zoom steps of 2 in ij space).
+
+    Plan shape: one explode of the grid-bounded leaf counts over the 4
+    levels, ONE groupBy — partial aggregation collapses each map task to
+    ≤ 6·4^level rows before the exchange — then one self-join on the parent
+    key (both sides grid-bounded, AQE broadcasts).  The unbounded events
+    table is touched only by the shared counts groupBy.  frac_of_parent is
+    a single bigint/bigint IEEE division, identical across engines; level-0
+    rows have no parent (null)."""
+    lvl = specs.COMPACT_LEVEL
+    levels = ", ".join(str(l) for l in specs.PYRAMID_LEVELS)
+    base = _grid_counts(spark, sf_dir, lvl)
+    pyr = (
+        base.select(
+            F.explode(F.expr(f"array({levels})")).alias("level"),
+            "face",
+            "ti",
+            "tj",
+            "n",
+        )
+        .select(
+            "level",
+            "face",
+            F.expr(f"shiftright(ti, {lvl} - level)").alias("ti_l"),
+            F.expr(f"shiftright(tj, {lvl} - level)").alias("tj_l"),
+            "n",
+        )
+        .groupBy("level", "face", "ti_l", "tj_l")
+        .agg(F.sum("n").alias("n_events"), F.count("*").alias("n_tiles"))
+    )
+    par = pyr.select(
+        (F.col("level") + 2).alias("level"),
+        F.col("face").alias("pf"),
+        F.col("ti_l").alias("pti"),
+        F.col("tj_l").alias("ptj"),
+        F.col("n_events").alias("parent_n"),
+    )
+    return pyr.join(
+        par,
+        on=[
+            pyr["level"] == par["level"],
+            pyr["face"] == par["pf"],
+            F.expr("shiftright(ti_l, 2)") == par["pti"],
+            F.expr("shiftright(tj_l, 2)") == par["ptj"],
+        ],
+        how="left",
+    ).select(
+        pyr["level"].cast("long").alias("level"),
+        F.col("face").cast("long").alias("face"),
+        F.col("ti_l").alias("ti"),
+        F.col("tj_l").alias("tj"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_tiles",
+        (F.col("n_events").cast("double") / F.col("parent_n")).alias(
+            "frac_of_parent"
+        ),
+    )
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup document clustering — the step a real training-data dedup
     pipeline runs AFTER candidate generation: MinHash-LSH pairs at
@@ -2910,6 +2973,7 @@ QUERIES = {
     "s2_cluster_stats": q_cluster_stats,
     "s2_cell_disk": q_cell_disk,
     "s2_cell_compact": q_cell_compact,
+    "s2_tile_pyramid": q_tile_pyramid,
     "dedup_cluster": q_dedup_cluster,
     "s2_focal_density": q_focal_density,
     "s2_geo_sample": q_geo_sample,

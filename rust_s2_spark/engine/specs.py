@@ -95,6 +95,12 @@ DISK_K = 3
 # compaction genuinely climbs the tree.
 COMPACT_LEVEL = 6
 
+# Tile pyramid (multi-resolution rollup): emit counts at these levels, each
+# tile with its share of its parent (the level two above is the pyramid
+# parent — quadtree zoom steps of 2).  Leaf level must equal COMPACT_LEVEL
+# so the pyramid shares the session grid-counts table.
+PYRAMID_LEVELS = (0, 2, 4, 6)
+
 # Near-dup doc clustering: MinHash candidate pairs at or above this
 # estimated Jaccard are dup edges; connected components over them define
 # the dup clusters (canonical doc = component minimum doc_id).

@@ -103,3 +103,42 @@ def test_dedup_cluster_invariants(spark):
     keep = [r for r in lab if r.is_canonical]
     assert len(keep) == len(member_counts)
     clear_geo_cache()
+
+
+def test_tile_pyramid_invariants(spark):
+    """Structural invariants of the multi-resolution rollup (the
+    cross-engine value gate lives in the oracle suite): per-level event
+    conservation, sibling shares, and parent linkage."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["s2_tile_pyramid"](spark, sf).collect()
+    total = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    by_level = defaultdict(list)
+    for r in rows:
+        by_level[r.level].append(r)
+    assert sorted(by_level) == list(specs.PYRAMID_LEVELS)
+    idx = {(r.level, r.face, r.ti, r.tj): r for r in rows}
+    for lvl, rs in by_level.items():
+        # every level partitions the corpus
+        assert sum(r.n_events for r in rs) == total
+        for r in rs:
+            assert r.n_events > 0 and r.n_tiles > 0
+            if lvl == specs.PYRAMID_LEVELS[0]:
+                assert r.frac_of_parent is None
+            else:
+                p = idx[(lvl - 2, r.face, r.ti >> 2, r.tj >> 2)]
+                assert r.frac_of_parent == r.n_events / p.n_events
+                assert 0.0 < r.frac_of_parent <= 1.0
+    # children exactly exhaust each parent's events
+    for lvl in specs.PYRAMID_LEVELS[1:]:
+        child_sum = defaultdict(int)
+        for r in by_level[lvl]:
+            child_sum[(r.face, r.ti >> 2, r.tj >> 2)] += r.n_events
+        for p in by_level[lvl - 2]:
+            assert child_sum[(p.face, p.ti, p.tj)] == p.n_events
+    clear_geo_cache()
