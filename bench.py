@@ -55,6 +55,10 @@ HEADLINE = [
     "s2_focal_density",
     "s2_geo_sample",
     "s2_trajectory_step",
+    "s2_trajectory_stats",
+    "s2_bearing",
+    "doc_quality",
+    "geo_training_features",
     "s2_segment_distance",
     "s2_region_area_stats",
     "s2_covering_set_ops",

@@ -42,55 +42,61 @@ _XYZ = (
 )
 
 
-def _fij_ctes(id_col: str) -> str:
+def _fij_ctes(id_col: str, prefix: str = "") -> str:
     """CTE chain: pts(id, lat, lng) -> ij(id, face, i, j) leaf coordinates.
 
     latlng -> xyz -> (face,u,v) -> (s,t) -> (i,j): the non-recursive prefix
     of the Hilbert encode — everything a grid-coordinate query (tile masks,
     adjacency) needs, without paying for the 30-step curve walk.
+
+    ``prefix`` renames every CTE (pts -> {prefix}pts etc.) so two chains
+    over different tables can compose in one WITH block.
     """
-    xyz = _XYZ.format(id=id_col, src="pts")
+    p = prefix
+    xyz = _XYZ.format(id=id_col, src=f"{p}pts")
     return f"""
-xyz AS ({xyz}),
-fsel AS (
+{p}xyz AS ({xyz}),
+{p}fsel AS (
   SELECT {id_col}, x, y, z,
     CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
          ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS f0
-  FROM xyz
+  FROM {p}xyz
 ),
-fc AS (
+{p}fc AS (
   SELECT {id_col}, x, y, z,
     CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN f0 + 3 ELSE f0 END AS face
-  FROM fsel
+  FROM {p}fsel
 ),
-fuv AS (
+{p}fuv AS (
   SELECT {id_col}, face,
     CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
               WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
     CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
               WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
-  FROM fc
+  FROM {p}fc
 ),
-stq AS (
+{p}stq AS (
   SELECT {id_col}, face,
     CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
     CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v) ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
-  FROM fuv
+  FROM {p}fuv
 ),
-ij AS (
+{p}ij AS (
   SELECT {id_col}, face,
     least(greatest(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
     least(greatest(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j
-  FROM stq
+  FROM {p}stq
 )
 """
 
 
-def _hilbert_ctes(id_col: str) -> str:
+def _hilbert_ctes(id_col: str, prefix: str = "") -> str:
     """CTE chain: pts(id, lat, lng) -> leaf(id, face, pos, cell_id).
 
     The _fij_ctes prefix plus the 30-step recursive Hilbert walk.
+    ``prefix`` renames every CTE, same contract as _fij_ctes.
     """
+    p = prefix
     pk_cases = " ".join(
         f"WHEN {bits * 4 + ij} THEN {int(IJ_TO_POS[bits][ij])}"
         for bits in range(4)
@@ -99,25 +105,25 @@ def _hilbert_ctes(id_col: str) -> str:
     pk_case = f"CASE (bits * 4 + ij2) {pk_cases} END"
     new_bits = "CASE pk WHEN 0 THEN xor(bits, 1) WHEN 3 THEN xor(bits, 3) ELSE bits END"
     return f"""
-{_fij_ctes(id_col).strip()},
-steps({id_col}, face, i, j, k, bits, pos) AS (
-  SELECT {id_col}, face, i, j, 29, face % 2, CAST(0 AS BIGINT) FROM ij
+{_fij_ctes(id_col, prefix).strip()},
+{p}steps({id_col}, face, i, j, k, bits, pos) AS (
+  SELECT {id_col}, face, i, j, 29, face % 2, CAST(0 AS BIGINT) FROM {p}ij
   UNION ALL
   SELECT {id_col}, face, i, j, k - 1, {new_bits}, pos * 4 + pk
   FROM (
     SELECT {id_col}, face, i, j, k, bits, pos, {pk_case} AS pk
     FROM (
-      SELECT *, (((i >> k) & 1) * 2 + ((j >> k) & 1)) AS ij2 FROM steps WHERE k >= 0
+      SELECT *, (((i >> k) & 1) * 2 + ((j >> k) & 1)) AS ij2 FROM {p}steps WHERE k >= 0
     ) t1
   ) t2
 ),
-leaf AS (
+{p}leaf AS (
   SELECT {id_col}, face, pos,
     CAST(CASE WHEN hu >= {POW63} THEN hu - {POW64} ELSE hu END AS BIGINT) AS cell_id
   FROM (
     SELECT {id_col}, face, pos,
       CAST(face AS HUGEINT) * {POW61}::HUGEINT + CAST(pos AS HUGEINT) * 2 + 1 AS hu
-    FROM steps WHERE k = -1
+    FROM {p}steps WHERE k = -1
   ) t3
 )
 """
@@ -592,6 +598,273 @@ st AS (
 SELECT user_id, event_id, prev_event,
   round((x - px) * (x - px) + (y - py) * (y - py) + (z - pz) * (z - pz), 7) AS chord2_r
 FROM st WHERE prev_event IS NOT NULL
+"""
+
+
+def o_trajectory_stats() -> str:
+    """Per-user trajectory rollup.  Per-step chords are rounded to scaled
+    BIGINTs before summing (order-independent integer total — the
+    s2_vectorize checksum rationale); bbox min/max are exact doubles;
+    first/last points come from row_number flags folded into the same
+    aggregate, mirroring the Spark plan."""
+    xyz = (
+        "SELECT event_id, lat, lng, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.lat, p.lng, p.x, p.y, p.z
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, lat, lng,
+    row_number() OVER w AS rn,
+    row_number() OVER w2 AS rn2,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+         w2 AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+),
+sq AS (
+  SELECT *, CASE WHEN px IS NOT NULL THEN CAST(round(
+    sqrt((x - px) * (x - px) + (y - py) * (y - py) + (z - pz) * (z - pz)) * 1e7,
+    0) AS BIGINT) END AS step_q
+  FROM st
+),
+a AS (
+  SELECT user_id,
+    count(*) AS n_events,
+    count(step_q) AS n_steps,
+    coalesce(CAST(sum(step_q) AS BIGINT), 0) AS total_chord_e7,
+    max(step_q) AS max_step_e7,
+    min(lat) AS lat_min, max(lat) AS lat_max,
+    min(lng) AS lng_min, max(lng) AS lng_max,
+    max(CASE WHEN rn = 1 THEN x END) AS fx,
+    max(CASE WHEN rn = 1 THEN y END) AS fy,
+    max(CASE WHEN rn = 1 THEN z END) AS fz,
+    max(CASE WHEN rn2 = 1 THEN x END) AS lx,
+    max(CASE WHEN rn2 = 1 THEN y END) AS ly,
+    max(CASE WHEN rn2 = 1 THEN z END) AS lz
+  FROM sq GROUP BY user_id
+),
+d AS (
+  SELECT *, CAST(round(sqrt(
+    (lx - fx) * (lx - fx) + (ly - fy) * (ly - fy) + (lz - fz) * (lz - fz)
+  ) * 1e7, 0) AS BIGINT) AS disp_e7
+  FROM a
+)
+SELECT user_id, n_events, n_steps, total_chord_e7, max_step_e7,
+  lat_min, lat_max, lng_min, lng_max, disp_e7,
+  CASE WHEN total_chord_e7 > 0 THEN
+    round(CAST(disp_e7 AS DOUBLE) / CAST(total_chord_e7 AS DOUBLE), 6)
+  END AS straightness_r
+FROM d
+"""
+
+
+def o_bearing() -> str:
+    """Per-step great-circle bearing + turn.  Bearing op order mirrors the
+    Spark expression term for term, rounded to 6 dp; the turn is computed
+    FROM THE ROUNDED bearings (both engines subtract/fmod identical
+    doubles), then rounded again."""
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS (SELECT event_id, radians(lat) AS p2, radians(lng) AS l2 FROM pts),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.p2, p.l2
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, event_id, ts,
+    lag(event_id) OVER w AS prev_event,
+    lag(p2) OVER w AS p1, lag(l2) OVER w AS l1,
+    p2, l2
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+b AS (
+  SELECT user_id, event_id, ts, prev_event,
+    round((degrees(atan2(
+      sin(l2 - l1) * cos(p2),
+      cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(l2 - l1)
+    )) + 360.0) % 360.0, 6) AS bearing_r
+  FROM st WHERE prev_event IS NOT NULL
+),
+t AS (
+  SELECT user_id, event_id, prev_event, bearing_r,
+    lag(bearing_r) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS pb
+  FROM b
+),
+u AS (
+  SELECT user_id, event_id, prev_event, bearing_r,
+    CASE WHEN pb IS NOT NULL THEN
+      round(((bearing_r - pb + 540.0) % 360.0) - 180.0, 6)
+    END AS turn_r
+  FROM t
+)
+SELECT user_id, event_id, prev_event, bearing_r, turn_r,
+  CASE WHEN turn_r IS NULL THEN 'first'
+       WHEN turn_r > 15.0 THEN 'right'
+       WHEN turn_r < -15.0 THEN 'left'
+       ELSE 'straight' END AS turn_class
+FROM u
+"""
+
+
+def o_doc_quality() -> str:
+    """Gopher-style quality flags: exact integer char math, flags compared
+    on the unrounded int/int IEEE divisions (identical in both engines)."""
+    nt = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    nd = "len(list_distinct(string_split(text, ' ')))"
+    nv = f"(length(text) - length(translate(text, '{specs.VOWELS}', '')))"
+    sh = "(" + " + ".join(_lang_count_duck(m) for m in specs.QUALITY_STOPWORDS) + ")"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    CAST({nt} AS BIGINT) AS n_tokens,
+    CAST({nd} AS BIGINT) AS n_distinct,
+    CAST({sh} AS BIGINT) AS stop_hits,
+    CAST({nd} AS DOUBLE) / CAST({nt} AS DOUBLE) AS dr,
+    CAST({nv} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS vr
+  FROM documents
+),
+f AS (
+  SELECT *,
+    (n_tokens >= {specs.QUALITY_LEN_MIN} AND n_tokens <= {specs.QUALITY_LEN_MAX}) AS flag_len,
+    (stop_hits >= {specs.QUALITY_STOP_MIN}) AS flag_stop,
+    (dr >= {specs.QUALITY_DISTINCT_MIN}) AS flag_rep,
+    (vr >= {specs.QUALITY_VOWEL_MIN} AND vr <= {specs.QUALITY_VOWEL_MAX}) AS flag_vowel
+  FROM c
+)
+SELECT doc_id, n_tokens, n_distinct, stop_hits,
+  round(dr, 6) AS distinct_ratio_r,
+  round(vr, 6) AS vowel_ratio_r,
+  flag_len, flag_stop, flag_rep, flag_vowel,
+  CAST(CAST(flag_len AS INT) + CAST(flag_stop AS INT) + CAST(flag_rep AS INT)
+       + CAST(flag_vowel AS INT) AS DOUBLE) / 4.0 AS quality_score,
+  (CAST(CAST(flag_len AS INT) + CAST(flag_stop AS INT) + CAST(flag_rep AS INT)
+        + CAST(flag_vowel AS INT) AS DOUBLE) / 4.0 >= 0.75) AS keep
+FROM f
+"""
+
+
+def o_geo_training_features() -> str:
+    """Curation-capstone replay: composes the proven CTE chains — doc-side
+    LCG latlng + recursive Hilbert encode (prefixed 'd' via the
+    _hilbert_ctes prefix parameter), the events-side FACE_WRAP focal-density
+    chain (o_focal_density's), the doc_quality integer char math, the BPE
+    token count, and the MinHash dedup reachability (o_dedup_cluster's) —
+    into one per-document feature row.  The tile join runs in (face,ti,tj)
+    grid space (bijective with the tile cell id the Spark side joins on)."""
+    from .queries import BPE_PAT
+
+    lvl = specs.FOCAL_LEVEL
+    n = 1 << lvl
+    shift = 30 - lvl
+    A, C, M = specs.LCG_A, specs.LCG_C, specs.LCG_M
+    x1 = f"((doc_id * {A} + {C}) % {M})"
+    x2 = f"(({x1} * {A} + {C}) % {M})"
+    dlat = f"(CAST({x1} % 170001 AS BIGINT) / 1000.0 - 85.0)"
+    dlng = f"(CAST({x2} % 360000 AS BIGINT) / 1000.0 - 180.0)"
+    in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+    nt = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    nd = "len(list_distinct(string_split(text, ' ')))"
+    nv = f"(length(text) - length(translate(text, '{specs.VOWELS}', '')))"
+    sh = "(" + " + ".join(_lang_count_duck(m) for m in specs.QUALITY_STOPWORDS) + ")"
+    pat = BPE_PAT.replace("'", "''")
+    return f"""
+WITH RECURSIVE
+dpts AS (SELECT doc_id, {dlat} AS lat, {dlng} AS lng FROM documents),
+{_hilbert_ctes("doc_id", prefix="d").strip()},
+dtile AS (
+  SELECT l.doc_id, p.lat, p.lng,
+    {_parent_from_pos(lvl, face="l.face", pos="l.pos")} AS tile,
+    g.face AS dface, g.i >> {shift} AS dti, g.j >> {shift} AS dtj
+  FROM dleaf l
+  JOIN dij g ON g.doc_id = l.doc_id
+  JOIN dpts p ON p.doc_id = l.doc_id
+),
+pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj, count(*) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+nb AS (
+  SELECT base.face, base.ti, base.tj, dirs.d, base.n,
+    ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+    tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+  FROM base, (VALUES (0),(1),(2),(3)) dirs(d)
+),
+nb2 AS (
+  SELECT n,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END AS tf,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END AS tti,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END AS ttj
+  FROM nb
+),
+contrib AS (
+  SELECT face AS tf, ti AS tti, tj AS ttj, n FROM base
+  UNION ALL
+  SELECT tf, tti, ttj, n FROM nb2
+),
+focal AS (
+  SELECT tf, tti, ttj, CAST(sum(n) AS BIGINT) AS focal_n
+  FROM contrib GROUP BY 1, 2, 3
+),
+qc AS (
+  SELECT doc_id,
+    CAST({nt} AS BIGINT) AS n_tokens,
+    CAST({sh} AS BIGINT) AS stop_hits,
+    CAST({nd} AS DOUBLE) / CAST({nt} AS DOUBLE) AS dr,
+    CAST({nv} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS vr
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    CAST(
+      CAST(n_tokens >= {specs.QUALITY_LEN_MIN} AND n_tokens <= {specs.QUALITY_LEN_MAX} AS INT)
+      + CAST(stop_hits >= {specs.QUALITY_STOP_MIN} AS INT)
+      + CAST(dr >= {specs.QUALITY_DISTINCT_MIN} AS INT)
+      + CAST(vr >= {specs.QUALITY_VOWEL_MIN} AND vr <= {specs.QUALITY_VOWEL_MAX} AS INT)
+    AS DOUBLE) / 4.0 AS quality_score
+  FROM qc
+),
+tok AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+),
+{_minhash_ctes().strip()},
+dup AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM scored
+  WHERE est_sim >= {specs.f(specs.DEDUP_SIM_THRESHOLD)}
+),
+sym AS MATERIALIZED (SELECT u, v FROM dup UNION ALL SELECT v, u FROM dup),
+cnodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT t.doc_id, t.lat, t.lng, t.tile,
+  coalesce(f.focal_n, 0) AS focal_n,
+  tok.n_bpe_tokens,
+  q.quality_score,
+  (q.quality_score >= 0.75) AS keep_quality,
+  coalesce(cc.cluster_id, t.doc_id) AS canonical_id,
+  (coalesce(cc.cluster_id, t.doc_id) = t.doc_id) AS is_canonical,
+  ((q.quality_score >= 0.75) AND (coalesce(cc.cluster_id, t.doc_id) = t.doc_id))
+    AS train_keep
+FROM dtile t
+JOIN q ON q.doc_id = t.doc_id
+JOIN tok ON tok.doc_id = t.doc_id
+LEFT JOIN cc ON cc.node = t.doc_id
+LEFT JOIN focal f ON f.tf = t.dface AND f.tti = t.dti AND f.ttj = t.dtj
 """
 
 
@@ -1964,6 +2237,10 @@ ORACLES = {
     "s2_focal_density": o_focal_density,
     "s2_geo_sample": o_geo_sample,
     "s2_trajectory_step": o_trajectory_step,
+    "s2_trajectory_stats": o_trajectory_stats,
+    "s2_bearing": o_bearing,
+    "doc_quality": o_doc_quality,
+    "geo_training_features": o_geo_training_features,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

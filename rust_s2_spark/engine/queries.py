@@ -2701,6 +2701,314 @@ def q_trajectory_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory rollup: event/step counts, total + max step
+    length, lat/lng bounding box, net displacement, and straightness ratio
+    — the per-entity movement summary a geo training pipeline joins onto
+    users (travel-distance features, stationary-user filters, GPS-jitter
+    detection via straightness).
+
+    Exactness design: per-step chord lengths are rounded to a scaled
+    BIGINT (round(chord*1e7)) BEFORE aggregation, so the per-user total is
+    an order-independent integer sum — exact across engines regardless of
+    reduction order (the s2_vectorize integer-checksum rationale; a float
+    SUM over shuffled partitions would be nondeterministic).  bbox min/max
+    are order-independent-exact doubles.  Straightness divides the two
+    exact integers in IEEE doubles.
+
+    Plan shape: ONE Exchange keyed by user_id — the window sort and the
+    groupBy reuse the same partitioning (Catalyst elides the second
+    shuffle); first/last points come from row_number flags folded into the
+    same aggregate, not extra joins.  At 100 TB: shuffle volume is one row
+    per event, state per key is O(1)."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "lat",
+        "lng",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    g = g.select(
+        "user_id",
+        "lat",
+        "lng",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w2).alias("rn2"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    )
+    dx = F.col("x") - F.col("px")
+    dy = F.col("y") - F.col("py")
+    dz = F.col("z") - F.col("pz")
+    chord = F.sqrt(dx * dx + dy * dy + dz * dz)
+    step_q = F.when(
+        F.col("px").isNotNull(),
+        F.round(chord * F.lit(1e7), 0).cast("long"),
+    )
+    g = g.withColumn("step_q", step_q)
+
+    def _at(flag: str, col: str):
+        return F.max(F.when(F.col(flag) == 1, F.col(col)))
+
+    a = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("step_q").alias("n_steps"),
+        F.coalesce(F.sum("step_q"), F.lit(0)).cast("long").alias("total_chord_e7"),
+        F.max("step_q").alias("max_step_e7"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lng").alias("lng_min"),
+        F.max("lng").alias("lng_max"),
+        _at("rn", "x").alias("fx"),
+        _at("rn", "y").alias("fy"),
+        _at("rn", "z").alias("fz"),
+        _at("rn2", "x").alias("lx"),
+        _at("rn2", "y").alias("ly"),
+        _at("rn2", "z").alias("lz"),
+    )
+    ddx = F.col("lx") - F.col("fx")
+    ddy = F.col("ly") - F.col("fy")
+    ddz = F.col("lz") - F.col("fz")
+    disp_q = F.round(F.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) * F.lit(1e7), 0).cast(
+        "long"
+    )
+    a = a.withColumn("disp_e7", disp_q)
+    straight = F.when(
+        F.col("total_chord_e7") > 0,
+        F.round(
+            F.col("disp_e7").cast("double") / F.col("total_chord_e7").cast("double"),
+            6,
+        ),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        "n_steps",
+        "total_chord_e7",
+        "max_step_e7",
+        "lat_min",
+        "lat_max",
+        "lng_min",
+        "lng_max",
+        "disp_e7",
+        straight.alias("straightness_r"),
+    )
+
+
+def q_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step great-circle initial bearing + turn angle + turn class —
+    the heading features under route clustering, mode-of-travel detection,
+    and GPS-spoof filtering (a trajectory whose turns are all 0° or 180°
+    is a straight-line interpolation, not a device).
+
+    bearing = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)
+    in degrees, normalized to [0, 360); turn = signed delta vs the
+    previous step's bearing normalized to (−180, 180].  Both engines run
+    the identical IEEE op order; trig results are rounded to 6 dp (the
+    trajectory_step rationale — JVM/DuckDB libm differ by ulps), and the
+    turn is computed FROM THE ROUNDED bearings so the subtraction and
+    fmod are deterministic across engines.
+
+    Plan shape: ONE Exchange keyed by user_id; the two stacked Window
+    operators share the partitioning and sort, so the second lag (over
+    bearings) adds no shuffle and no re-sort."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.radians("lat").alias("p2"),
+        F.radians("lng").alias("l2"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = g.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("p2").over(w).alias("p1"),
+        F.lag("l2").over(w).alias("l1"),
+        "p2",
+        "l2",
+    )
+    dl = F.col("l2") - F.col("l1")
+    ycomp = F.sin(dl) * F.cos("p2")
+    xcomp = F.cos("p1") * F.sin("p2") - F.sin("p1") * F.cos("p2") * F.cos(dl)
+    bearing = F.round(
+        (F.degrees(F.atan2(ycomp, xcomp)) + F.lit(360.0)) % F.lit(360.0), 6
+    )
+    steps = g.where(F.col("prev_event").isNotNull()).select(
+        "user_id", "event_id", "ts", "prev_event", bearing.alias("bearing_r")
+    )
+    pb = F.lag("bearing_r").over(w)
+    turn = (
+        (F.col("bearing_r") - F.col("pb") + F.lit(540.0)) % F.lit(360.0)
+    ) - F.lit(180.0)
+    out = steps.withColumn("pb", pb).select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        "bearing_r",
+        F.when(F.col("pb").isNotNull(), F.round(turn, 6)).alias("turn_r"),
+    )
+    turn_class = (
+        F.when(F.col("turn_r").isNull(), F.lit("first"))
+        .when(F.col("turn_r") > 15.0, F.lit("right"))
+        .when(F.col("turn_r") < -15.0, F.lit("left"))
+        .otherwise(F.lit("straight"))
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        "bearing_r",
+        "turn_r",
+        turn_class.alias("turn_class"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality scoring + keep/drop decision — the
+    curation filter a training pipeline runs before dedup: length band,
+    stopword density, repetition (distinct-token ratio), and vowel ratio,
+    folded into a 0..1 score with an explicit keep flag.
+
+    Every signal is exact integer char math (translate/replace counting,
+    array_distinct token sets) and every flag compares an exact
+    int/int IEEE division — no trig, no rounding dependence, so the
+    oracle match is bit-exact.  Ratios are ALSO emitted rounded (6 dp)
+    for human consumption, but flags derive from the unrounded values.
+
+    Scale shape: a pure map over the scan (zero Exchanges, spread=False);
+    the filter composes with sample_hash / dedup_exact downstream.  All
+    expressions are whole-stage codegen (no Python)."""
+    docs = _read(spark, sf_dir, "documents", spread=False)
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = n_chars - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    n_distinct = F.size(F.array_distinct(F.split(text, " ")))
+    n_vowels = n_chars - F.length(F.translate(text, specs.VOWELS, ""))
+    stop_hits = F.expr(
+        " + ".join(_lang_count_expr(m) for m in specs.QUALITY_STOPWORDS)
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        stop_hits.alias("stop_hits"),
+        (n_distinct.cast("double") / n_tokens.cast("double")).alias("dr"),
+        (n_vowels.cast("double") / n_chars.cast("double")).alias("vr"),
+    )
+    f_len = (F.col("n_tokens") >= specs.QUALITY_LEN_MIN) & (
+        F.col("n_tokens") <= specs.QUALITY_LEN_MAX
+    )
+    f_stop = F.col("stop_hits") >= specs.QUALITY_STOP_MIN
+    f_rep = F.col("dr") >= specs.QUALITY_DISTINCT_MIN
+    f_vowel = (F.col("vr") >= specs.QUALITY_VOWEL_MIN) & (
+        F.col("vr") <= specs.QUALITY_VOWEL_MAX
+    )
+    score = (
+        f_len.cast("int") + f_stop.cast("int") + f_rep.cast("int") + f_vowel.cast("int")
+    ).cast("double") / F.lit(4.0)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "stop_hits",
+        F.round(F.col("dr"), 6).alias("distinct_ratio_r"),
+        F.round(F.col("vr"), 6).alias("vowel_ratio_r"),
+        f_len.alias("flag_len"),
+        f_stop.alias("flag_stop"),
+        f_rep.alias("flag_rep"),
+        f_vowel.alias("flag_vowel"),
+        score.alias("quality_score"),
+        (score >= 0.75).alias("keep"),
+    )
+
+
+def q_geo_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: one wide per-document feature table joining
+    every pipeline stage a geo training corpus needs — span-extracted
+    location + S2 tile, the events-derived focal density of that tile (how
+    busy is this place), BPE token cost, the Gopher-style quality score,
+    and the near-dup canonical flag — ending in ONE train_keep decision
+    (quality keep AND dedup canonical).  This is the table a 100 TB run
+    materializes as its output.
+
+    Plan shape: the three doc-side stages (quality, tokens, dedup labels)
+    all key by doc_id, so they co-partition into one shuffle chain (AQE
+    broadcasts at sandbox scale); the focal table is GRID-BOUNDED
+    (<= 6*4^L rows) and joins as a broadcast; the unbounded events table
+    is touched exactly once (inside focal_counts).  Reuses the memoized
+    dedup labels, so warm invocations skip the CC fixpoint."""
+    lvl = specs.FOCAL_LEVEL
+    ev = events_geo(spark, sf_dir)
+    counts = ev.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
+        F.count("*").alias("n")
+    )
+    focal = tiling.focal_counts(counts).select("tile", "focal_n")
+
+    spans = _spans_df(spark, sf_dir)
+    geo_text = F.filter("spans", lambda s: s["kind"] == F.lit("geo"))[0]["text"]
+    parts = F.split(geo_text, ":")
+    lat = parts[0].cast("long") / F.lit(1000.0) - F.lit(85.0)
+    lng = parts[1].cast("long") / F.lit(1000.0) - F.lit(180.0)
+    g = spans.select("doc_id", lat.alias("lat"), lng.alias("lng"))
+    g = tiling.with_leaf_cellid(g).select(
+        "doc_id", "lat", "lng", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+
+    quality = q_doc_quality(spark, sf_dir).select(
+        "doc_id", "quality_score", F.col("keep").alias("keep_quality")
+    )
+    tokens = q_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    dup = q_dedup_cluster(spark, sf_dir).select(
+        "doc_id", "canonical_id", "is_canonical"
+    )
+    out = (
+        g.join(quality, on="doc_id")
+        .join(tokens, on="doc_id")
+        .join(dup, on="doc_id")
+        .join(F.broadcast(focal), on="tile", how="left")
+    )
+    return out.select(
+        "doc_id",
+        "lat",
+        "lng",
+        "tile",
+        F.coalesce(F.col("focal_n"), F.lit(0).cast("long")).alias("focal_n"),
+        "n_bpe_tokens",
+        "quality_score",
+        "keep_quality",
+        "canonical_id",
+        "is_canonical",
+        (F.col("keep_quality") & F.col("is_canonical")).alias("train_keep"),
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -2978,6 +3286,10 @@ QUERIES = {
     "s2_focal_density": q_focal_density,
     "s2_geo_sample": q_geo_sample,
     "s2_trajectory_step": q_trajectory_step,
+    "s2_trajectory_stats": q_trajectory_stats,
+    "s2_bearing": q_bearing,
+    "doc_quality": q_doc_quality,
+    "geo_training_features": q_geo_training_features,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

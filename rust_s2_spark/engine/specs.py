@@ -277,6 +277,17 @@ LANG_MARKERS = [
 PUNCT_CHARS = ".,!?;:"
 VOWELS = "aeiou"
 
+# doc_quality stopword set (padded-substring counting, same trick as
+# LANG_MARKERS) + the flag thresholds.  Thresholds chosen where the synthetic
+# corpus actually splits (sf0.01 quantiles: distinct-ratio median 0.46,
+# stop-hit median 3, vowel-ratio IQR 0.278-0.294, token p05 = 16) so the
+# keep/drop decision is non-trivial at every SF.
+QUALITY_STOPWORDS = ["the", "and", "of", "a"]
+QUALITY_LEN_MIN, QUALITY_LEN_MAX = 20, 400
+QUALITY_STOP_MIN = 3
+QUALITY_DISTINCT_MIN = 0.45
+QUALITY_VOWEL_MIN, QUALITY_VOWEL_MAX = 0.27, 0.31
+
 
 # ---------------------------------------------------------------------------
 # Raster -> vector (s2_vectorize): mask variants + cube-face edge topology
