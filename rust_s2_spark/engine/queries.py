@@ -2571,6 +2571,24 @@ def q_cap_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("region_id", "tile").agg(F.count("*").alias("n_docs"))
 
 
+def _focal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session persisted (tile, n, focal_n) table at FOCAL_LEVEL —
+    the density feature table both q_focal_density and the training-feature
+    capstone consume.  GRID-BOUNDED (<= 6*4^L rows at any corpus size), so
+    the persist is tiny; the unbounded events table is scanned once per
+    session per SF."""
+
+    def build() -> DataFrame:
+        lvl = specs.FOCAL_LEVEL
+        ev = events_geo(spark, sf_dir)
+        counts = ev.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
+            F.count("*").alias("n")
+        )
+        return tiling.focal_counts(counts)
+
+    return _aux_persisted(spark, sf_dir, "focal_table", build)
+
+
 def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal (edge-neighbor) density on the S2 grid — raster map algebra.
 
@@ -2591,11 +2609,7 @@ def q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent key the oracle recomputes combinatorially via the
     FACE_WRAP CASE tables (same machinery the vectorize oracles trust)."""
     lvl = specs.FOCAL_LEVEL
-    docs = events_geo(spark, sf_dir)
-    counts = docs.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
-        F.count("*").alias("n")
-    )
-    out = tiling.focal_counts(counts)
+    out = _focal_table(spark, sf_dir)
     sh = 30 - lvl
 
     def decode(batches):
@@ -2958,42 +2972,64 @@ def q_geo_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality keep AND dedup canonical).  This is the table a 100 TB run
     materializes as its output.
 
-    Plan shape: the three doc-side stages (quality, tokens, dedup labels)
-    all key by doc_id, so they co-partition into one shuffle chain (AQE
-    broadcasts at sandbox scale); the focal table is GRID-BOUNDED
-    (<= 6*4^L rows) and joins as a broadcast; the unbounded events table
-    is touched exactly once (inside focal_counts).  Reuses the memoized
-    dedup labels, so warm invocations skip the CC fixpoint."""
+    Plan shape: the geo span parse, quality signals, and token count are
+    all pure maps over documents, FUSED into one projection over a single
+    corpus scan (three standalone stages joined on doc_id would read the
+    100 TB table three times and shuffle it twice); the only doc-side
+    join is against the (memoized) dedup labels; the focal table is
+    GRID-BOUNDED (<= 6*4^L rows) and joins as a broadcast; the unbounded
+    events table is touched exactly once (inside focal_counts)."""
     lvl = specs.FOCAL_LEVEL
-    ev = events_geo(spark, sf_dir)
-    counts = ev.groupBy(tiling.parent_col("cell_id", lvl).alias("tile")).agg(
-        F.count("*").alias("n")
-    )
-    focal = tiling.focal_counts(counts).select("tile", "focal_n")
+    focal = _focal_table(spark, sf_dir).select("tile", "focal_n")
 
-    spans = _spans_df(spark, sf_dir)
-    geo_text = F.filter("spans", lambda s: s["kind"] == F.lit("geo"))[0]["text"]
+    # ONE corpus scan: the geo span parse, the quality signals, and the
+    # token count are all pure maps over documents — fusing them into a
+    # single projection (instead of joining three standalone stages on
+    # doc_id) reads the 100 TB table once and joins nothing doc-sided
+    # except the (memoized) dedup labels.
+    docs = _read(spark, sf_dir, "documents", spread=False)
+    synth = _SPAN_SYNTH.format(A=specs.LCG_A, C=specs.LCG_C, M=specs.LCG_M)
+    spans_expr = F.when(F.col("doc_id") % 4 == 0, F.expr(synth)).otherwise(
+        F.expr(f"slice({synth}, 1, 2)")
+    )
+    geo_text = F.filter(spans_expr, lambda s: s["kind"] == F.lit("geo"))[0]["text"]
     parts = F.split(geo_text, ":")
     lat = parts[0].cast("long") / F.lit(1000.0) - F.lit(85.0)
     lng = parts[1].cast("long") / F.lit(1000.0) - F.lit(180.0)
-    g = spans.select("doc_id", lat.alias("lat"), lng.alias("lng"))
-    g = tiling.with_leaf_cellid(g).select(
-        "doc_id", "lat", "lng", tiling.parent_col("cell_id", lvl).alias("tile")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = n_chars - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    n_distinct = F.size(F.array_distinct(F.split(text, " ")))
+    n_vowels = n_chars - F.length(F.translate(text, specs.VOWELS, ""))
+    stop_hits = F.expr(
+        " + ".join(_lang_count_expr(m) for m in specs.QUALITY_STOPWORDS)
+    ).cast("long")
+    dr = n_distinct.cast("double") / n_tokens.cast("double")
+    vr = n_vowels.cast("double") / n_chars.cast("double")
+    f_len = (n_tokens >= specs.QUALITY_LEN_MIN) & (n_tokens <= specs.QUALITY_LEN_MAX)
+    f_stop = stop_hits >= specs.QUALITY_STOP_MIN
+    f_rep = dr >= specs.QUALITY_DISTINCT_MIN
+    f_vowel = (vr >= specs.QUALITY_VOWEL_MIN) & (vr <= specs.QUALITY_VOWEL_MAX)
+    score = (
+        f_len.cast("int") + f_stop.cast("int") + f_rep.cast("int") + f_vowel.cast("int")
+    ).cast("double") / F.lit(4.0)
+    n_bpe = F.regexp_count(text, F.lit(BPE_PAT)).cast("long")
+    g = docs.select(
+        "doc_id",
+        lat.alias("lat"),
+        lng.alias("lng"),
+        n_bpe.alias("n_bpe_tokens"),
+        score.alias("quality_score"),
+        (score >= 0.75).alias("keep_quality"),
+    )
+    g = tiling.with_leaf_cellid(g).withColumn(
+        "tile", tiling.parent_col("cell_id", lvl)
     )
 
-    quality = q_doc_quality(spark, sf_dir).select(
-        "doc_id", "quality_score", F.col("keep").alias("keep_quality")
-    )
-    tokens = q_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
     dup = q_dedup_cluster(spark, sf_dir).select(
         "doc_id", "canonical_id", "is_canonical"
     )
-    out = (
-        g.join(quality, on="doc_id")
-        .join(tokens, on="doc_id")
-        .join(dup, on="doc_id")
-        .join(F.broadcast(focal), on="tile", how="left")
-    )
+    out = g.join(dup, on="doc_id").join(F.broadcast(focal), on="tile", how="left")
     return out.select(
         "doc_id",
         "lat",
