@@ -158,6 +158,23 @@ def bench_streaming(spark) -> dict:
         _drop(name)
         return rows, dt
 
+    def drain_traj(tag):
+        name = f"bench_stream_traj_{tag}"
+        t0 = time.time()
+        traj = S.stream_trajectory(spark, rows_per_batch=200_000)
+        q = (
+            traj.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dt = time.time() - t0
+        rows = _progress_rows(q)
+        _drop(name)
+        return rows, dt
+
     def median_of(drain, reps: int = 3):
         drain("warmup")
         runs = [drain(i) for i in range(reps)]
@@ -174,6 +191,7 @@ def bench_streaming(spark) -> dict:
     return {
         "stream_tile_counts": median_of(drain_tiles),
         "stream_attribution": median_of(drain_attr),
+        "stream_trajectory": median_of(drain_traj),
     }
 
 

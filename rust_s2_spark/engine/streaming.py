@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import ingest, tiling
+from . import ingest, specs, tiling
 
 __all__ = [
     "stream_docs",
@@ -373,6 +373,135 @@ def batch_attribution_reference(spark: SparkSession, n_rows: int) -> DataFrame:
             "click_sec",
             (F.col("sec") - F.col("click_sec")).alias("gap_sec"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trajectory steps (the continuous face of s2_trajectory_step)
+# ---------------------------------------------------------------------------
+
+TRAJ_USERS = 25
+
+_TRAJ_OUT = "user_id long, event_id long, prev_event long, chord2 double"
+_TRAJ_STATE = "last_eid long, px double, py double, pz double"
+
+
+def _trajectory_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user squared-chord step distance
+    from the previous event, carried across micro-batches.
+
+    State = (last event id, last unit-sphere x, y, z).  The xyz columns are
+    computed JVM-side BEFORE this kernel (trig stays in codegen); here only
+    IEEE -,*,+ run in numpy float64, which are bit-identical to the JVM's,
+    so streaming output equals the batch window reference EXACTLY —
+    unrounded doubles."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_eid, px, py, pz = state.get
+    else:
+        last_eid, px, py, pz = None, 0.0, 0.0, 0.0
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        eid = pdf["event_id"].to_numpy(np.int64)
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        z = pdf["z"].to_numpy(np.float64)
+        pxs = np.concatenate(([px], x[:-1]))
+        pys = np.concatenate(([py], y[:-1]))
+        pzs = np.concatenate(([pz], z[:-1]))
+        peid = np.concatenate(([last_eid if last_eid is not None else -1], eid[:-1]))
+        dx, dy, dz = x - pxs, y - pys, z - pzs
+        chord2 = dx * dx + dy * dy + dz * dz
+        keep = np.ones(len(eid), dtype=bool)
+        if last_eid is None:
+            keep[0] = False  # the user's first event ever has no step
+        state.update((int(eid[-1]), float(x[-1]), float(y[-1]), float(z[-1])))
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(int(keep.sum()), user_id, dtype=np.int64),
+                    "event_id": eid[keep],
+                    "prev_event": peid[keep],
+                    "chord2": chord2[keep],
+                }
+            )
+    # no chunks (e.g. a timeout tick): leave state untouched — writing a
+    # sentinel last_eid here would fake a "previous point" for a user whose
+    # first event hasn't arrived yet
+
+
+def _traj_xyz_cols(df: DataFrame, id_col: str) -> DataFrame:
+    """Derived (user_id, event_id, x, y, z): the shared LCG latlng of the
+    id, projected to the unit sphere with the same JVM op order as
+    q_trajectory_step."""
+    lat_sql, lng_sql = specs.latlng_sql(id_col)
+    g = df.select(
+        (F.col(id_col) % TRAJ_USERS).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.expr(lat_sql).alias("lat"),
+        F.expr(lng_sql).alias("lng"),
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    return g.select(
+        "user_id",
+        "event_id",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+
+
+def stream_trajectory(spark: SparkSession, rows_per_batch: int = 500) -> DataFrame:
+    """Deterministic event stream -> stateful per-user trajectory steps.
+
+    Event ids (the rate value) arrive in increasing order, so per-user
+    arrival order is the trajectory order; the kernel sorts within each
+    micro-batch and the state carries the last point across batches."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    ev = _traj_xyz_cols(src, "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _trajectory_fn,
+        outputStructType=_TRAJ_OUT,
+        stateStructType=_TRAJ_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def batch_trajectory_reference(spark: SparkSession, n_rows: int) -> DataFrame:
+    """The same steps computed in batch with a lag window — the oracle for
+    the stateful streaming operator (exact doubles, no rounding)."""
+    from pyspark.sql import Window
+
+    g = _traj_xyz_cols(spark.range(n_rows), "id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    g = g.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    )
+    dx = F.col("x") - F.col("px")
+    dy = F.col("y") - F.col("py")
+    dz = F.col("z") - F.col("pz")
+    return g.where(F.col("prev_event").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        (dx * dx + dy * dy + dz * dz).alias("chord2"),
     )
 
 

@@ -19,6 +19,8 @@ CASES = [
     "s2_vectorize",
     "s2_vectorize_dist",
     "s2_cap_join",
+    "s2_trajectory_stats",
+    "geo_training_features",
 ]
 
 

@@ -276,7 +276,71 @@ def test_streaming_throughput_floor(spark):
         spark.catalog.dropTempView(f"floor_a_{tag}")
         return rows, dt
 
-    for drain in (drain_tiles, drain_attr):
+    def drain_traj(tag):
+        from rust_s2_spark.engine.streaming import stream_trajectory
+
+        t0 = time.time()
+        q = (
+            stream_trajectory(spark, rows_per_batch=100_000)
+            .writeStream.format("memory")
+            .queryName(f"floor_j_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dt = time.time() - t0
+        rows = _rows(q)
+        spark.catalog.dropTempView(f"floor_j_{tag}")
+        return rows, dt
+
+    for drain in (drain_tiles, drain_attr, drain_traj):
         drain("warmup")  # stream startup + state-store init, untimed
         best = max(r / s for r, s in (drain(i) for i in range(2)))
         assert best >= 10_000, f"{drain.__name__}: {best:.0f} rows/s under floor"
+
+
+def test_stateful_trajectory_matches_batch(spark):
+    """Streaming per-user trajectory steps across MULTIPLE micro-batches
+    equal the batch lag-window reference on the consumed prefix — EXACT
+    doubles (xyz trig runs JVM-side in both; the state kernel only does
+    IEEE -,*,+ in numpy, bit-identical to codegen), including steps whose
+    previous point arrived in an EARLIER micro-batch."""
+    import time
+
+    from rust_s2_spark.engine.streaming import (
+        TRAJ_USERS,
+        batch_trajectory_reference,
+        stream_trajectory,
+    )
+
+    q = (
+        stream_trajectory(spark, rows_per_batch=200)
+        .writeStream.format("memory")
+        .queryName("traj_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    consumed = sum(p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0)
+    assert consumed >= 800, "needed multiple micro-batches to exercise state"
+    got = {tuple(r) for r in spark.table("traj_test").collect()}
+    want = {tuple(r) for r in batch_trajectory_reference(spark, consumed).collect()}
+    assert got == want
+    # every user contributes steps and none is a first-event ghost
+    assert len(got) == consumed - TRAJ_USERS
+    assert all(r[3] >= 0.0 for r in got)
+    # cross-batch continuity actually exercised: some step's previous event
+    # arrived >= one full micro-batch earlier is impossible here (ids are
+    # dense per user), but steps DO span the batch boundary: a user's ids
+    # are TRAJ_USERS apart, so with rows_per_batch=200 and 25 users every
+    # batch boundary splits 25 consecutive (prev, cur) pairs
+    boundary = {r for r in got if r[1] // 200 != r[2] // 200}
+    assert len(boundary) >= TRAJ_USERS
