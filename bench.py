@@ -57,6 +57,8 @@ HEADLINE = [
     "s2_trajectory_step",
     "s2_trajectory_stats",
     "s2_bearing",
+    "s2_colocation_join",
+    "s2_od_matrix",
     "doc_quality",
     "geo_training_features",
     "s2_segment_distance",

@@ -751,6 +751,66 @@ FROM f
 """
 
 
+def o_colocation_join() -> str:
+    """Spatio-temporal co-location replay: the distance-join brute force
+    (lat-band prefilter, op-order-exact chord refine) extended with the
+    user join and the exact integer microsecond delta."""
+    import math
+
+    radius = specs.COLOC_RADIUS
+    chord = 2.0 * math.sin(radius / 2.0)
+    r2 = chord * chord
+    band_deg = math.degrees(radius) * 1.0000001
+    xyz = (
+        "SELECT event_id, lat, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+pairs AS (
+  SELECT a.event_id AS event_a, b.event_id AS event_b,
+    round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z), 7) AS chord2_r
+  FROM p a JOIN p b
+    ON a.event_id < b.event_id
+   AND b.lat BETWEEN a.lat - {specs.f(band_deg)} AND a.lat + {specs.f(band_deg)}
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z) <= {specs.f(r2)}
+)
+SELECT pr.event_a, pr.event_b, ea.user_id AS user_a, eb.user_id AS user_b,
+  pr.chord2_r, abs(ea.us - eb.us) AS dt_us
+FROM pairs pr
+JOIN e ea ON ea.event_id = pr.event_a
+JOIN e eb ON eb.event_id = pr.event_b
+WHERE ea.user_id <> eb.user_id AND abs(ea.us - eb.us) <= {specs.COLOC_WINDOW_US}
+"""
+
+
+def o_od_matrix() -> str:
+    """OD flow replay: recursive Hilbert encode -> OD_LEVEL ancestor per
+    event, lag window in (ts, event_id) order, groupBy (origin, dest)."""
+    lvl = specs.OD_LEVEL
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")}
+, tiles AS (SELECT event_id, {_parent_from_pos(lvl)} AS tile FROM leaf)
+, g AS (
+  SELECT e.user_id, e.ts, t.event_id, t.tile
+  FROM events e JOIN tiles t ON e.event_id = t.event_id
+)
+, st AS (
+  SELECT user_id, tile AS d_tile,
+    lag(tile) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS o_tile
+  FROM g
+)
+SELECT o_tile, d_tile, count(*) AS n_steps,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  (o_tile <> d_tile) AS moved
+FROM st WHERE o_tile IS NOT NULL
+GROUP BY o_tile, d_tile
+"""
+
+
 def o_geo_training_features() -> str:
     """Curation-capstone replay: composes the proven CTE chains — doc-side
     LCG latlng + recursive Hilbert encode (prefixed 'd' via the
@@ -2241,6 +2301,8 @@ ORACLES = {
     "s2_bearing": o_bearing,
     "doc_quality": o_doc_quality,
     "geo_training_features": o_geo_training_features,
+    "s2_colocation_join": o_colocation_join,
+    "s2_od_matrix": o_od_matrix,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

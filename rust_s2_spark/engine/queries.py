@@ -132,6 +132,7 @@ def clear_geo_cache() -> None:
     _EMBED_CACHE.clear()
     _KNN_RESULT_CACHE.clear()
     _DISTANCE_RESULT_CACHE.clear()
+    _COLOC_PAIRS_CACHE.clear()
     _CLUSTER_RESULT_CACHE.clear()
     _DBSCAN_RESULT_CACHE.clear()
     _DBSCAN_WIDE_CACHE.clear()
@@ -3045,6 +3046,108 @@ def q_geo_training_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_colocation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location: every pair of DIFFERENT users whose
+    events fall within DISTANCE_JOIN_RADIUS of each other AND within
+    COLOC_WINDOW_US (24 h) — the contact-graph / co-visit primitive
+    (proximity marketing, epidemiology, fraud rings).
+
+    Composition: the spatial half is the same cell-bucketed
+    distance_self_join machinery as s2_distance_join at COLOC_RADIUS (3x
+    the DBSCAN epsilon — the LCG ties nearby event ids to nearby
+    timestamps, so the 1x graph has no diff-user pair inside any
+    reasonable window at small SFs); this query adds the temporal
+    predicate and the user identity join.  The time delta is exact int64
+    microseconds in every engine, so the filter and the emitted dt_us are
+    bit-exact.  Plan shape: ONE shuffle of the corpus on the cell key
+    (inside distance_self_join), then two equi-joins of the pair table
+    against the events projection on event_id.  Memoized per (session,
+    dataset) like the other pair tables."""
+    from .join import distance_self_join
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _COLOC_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pts = events_geo(spark, sf_dir)
+        pairs = distance_self_join(pts, specs.COLOC_RADIUS, id_col="event_id")
+        _COLOC_PAIRS_CACHE[key] = pairs
+    # timestampdiff handles the parquet TIMESTAMP_NTZ type (unix_micros
+    # does not); the delta is an exact int64 either way
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    dt = F.abs(F.expr("timestampdiff(MICROSECOND, ts_b, ts_a)"))
+    return (
+        pairs.join(a, on="event_a")
+        .join(b, on="event_b")
+        .where((F.col("user_a") != F.col("user_b")) & (dt <= specs.COLOC_WINDOW_US))
+        .select(
+            "event_a",
+            "event_b",
+            "user_a",
+            "user_b",
+            "chord2_r",
+            dt.alias("dt_us"),
+        )
+    )
+
+
+_COLOC_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: consecutive per-user steps rolled up
+    to (origin tile, destination tile) at OD_LEVEL, with step and distinct-
+    user counts — the aggregate movement table (commute flows, migration,
+    tile-to-tile demand) a geo pipeline derives from raw trajectories.
+
+    Plan shape: ONE user_id Exchange for the lag window, then ONE groupBy
+    Exchange on the (o_tile, d_tile) key; the flow table is grid-bounded
+    (<= 36*16^L rows) regardless of corpus size.  Tile ids are pure bit
+    Columns off the memoized tiled-events table."""
+    lvl = specs.OD_LEVEL
+    docs = events_geo(spark, sf_dir).select(
+        "event_id", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    g = ev.join(docs, on="event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    st = g.select(
+        "user_id",
+        F.col("tile").alias("d_tile"),
+        F.lag("tile").over(w).alias("o_tile"),
+    )
+    return (
+        st.where(F.col("o_tile").isNotNull())
+        .groupBy("o_tile", "d_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "o_tile",
+            "d_tile",
+            "n_steps",
+            "n_users",
+            (F.col("o_tile") != F.col("d_tile")).alias("moved"),
+        )
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -3326,6 +3429,8 @@ QUERIES = {
     "s2_bearing": q_bearing,
     "doc_quality": q_doc_quality,
     "geo_training_features": q_geo_training_features,
+    "s2_colocation_join": q_colocation_join,
+    "s2_od_matrix": q_od_matrix,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

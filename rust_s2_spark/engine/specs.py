@@ -288,6 +288,18 @@ QUALITY_STOP_MIN = 3
 QUALITY_DISTINCT_MIN = 0.45
 QUALITY_VOWEL_MIN, QUALITY_VOWEL_MAX = 0.27, 0.31
 
+# s2_colocation_join: two different users' events within COLOC_RADIUS and
+# within this time window (microseconds — the events table carries
+# microsecond timestamps, so the delta is an exact integer in every engine).
+# Radius is 3x the distance-join epsilon and the window 72 h: the LCG ties
+# nearby event ids to nearby timestamps, so tighter bounds leave the small
+# SFs empty (measured: min diff-user dt at sf0.001 is 23.5 days inside 1x).
+COLOC_WINDOW_US = 259_200_000_000  # 72 h
+COLOC_RADIUS = 3.0 * DISTANCE_JOIN_RADIUS  # 0.042 rad, ~267 km
+
+# s2_od_matrix: origin/destination tile level for consecutive-step flows.
+OD_LEVEL = 4
+
 
 # ---------------------------------------------------------------------------
 # Raster -> vector (s2_vectorize): mask variants + cube-face edge topology
