@@ -62,6 +62,11 @@ HEADLINE = [
     "doc_quality",
     "geo_training_features",
     "s2_segment_distance",
+    "s2_snap_join",
+    "s2_voronoi_assign",
+    "s2_step_midpoint",
+    "s2_tile_churn",
+    "s2_hotspot",
     "s2_region_area_stats",
     "s2_covering_set_ops",
     "dedup_exact",

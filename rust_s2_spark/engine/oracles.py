@@ -42,7 +42,7 @@ _XYZ = (
 )
 
 
-def _fij_ctes(id_col: str, prefix: str = "") -> str:
+def _fij_ctes(id_col: str, prefix: str = "", xyz_src: str | None = None) -> str:
     """CTE chain: pts(id, lat, lng) -> ij(id, face, i, j) leaf coordinates.
 
     latlng -> xyz -> (face,u,v) -> (s,t) -> (i,j): the non-recursive prefix
@@ -51,9 +51,14 @@ def _fij_ctes(id_col: str, prefix: str = "") -> str:
 
     ``prefix`` renames every CTE (pts -> {prefix}pts etc.) so two chains
     over different tables can compose in one WITH block.
+
+    ``xyz_src`` (optional) replaces the latlng->xyz trig step with an
+    arbitrary SELECT yielding ({id_col}, x, y, z) unit vectors — the entry
+    point for encodes of DERIVED points (step midpoints, interpolations)
+    rather than raw event latlngs.
     """
     p = prefix
-    xyz = _XYZ.format(id=id_col, src=f"{p}pts")
+    xyz = xyz_src if xyz_src is not None else _XYZ.format(id=id_col, src=f"{p}pts")
     return f"""
 {p}xyz AS ({xyz}),
 {p}fsel AS (
@@ -90,11 +95,11 @@ def _fij_ctes(id_col: str, prefix: str = "") -> str:
 """
 
 
-def _hilbert_ctes(id_col: str, prefix: str = "") -> str:
+def _hilbert_ctes(id_col: str, prefix: str = "", xyz_src: str | None = None) -> str:
     """CTE chain: pts(id, lat, lng) -> leaf(id, face, pos, cell_id).
 
     The _fij_ctes prefix plus the 30-step recursive Hilbert walk.
-    ``prefix`` renames every CTE, same contract as _fij_ctes.
+    ``prefix`` / ``xyz_src`` pass through to _fij_ctes (same contract).
     """
     p = prefix
     pk_cases = " ".join(
@@ -105,7 +110,7 @@ def _hilbert_ctes(id_col: str, prefix: str = "") -> str:
     pk_case = f"CASE (bits * 4 + ij2) {pk_cases} END"
     new_bits = "CASE pk WHEN 0 THEN xor(bits, 1) WHEN 3 THEN xor(bits, 3) ELSE bits END"
     return f"""
-{_fij_ctes(id_col, prefix).strip()},
+{_fij_ctes(id_col, prefix, xyz_src).strip()},
 {p}steps({id_col}, face, i, j, k, bits, pos) AS (
   SELECT {id_col}, face, i, j, 29, face % 2, CAST(0 AS BIGINT) FROM {p}ij
   UNION ALL
@@ -1364,8 +1369,8 @@ FROM c GROUP BY 1, 2
 """
 
 
-def _segment_chord_exprs() -> str:
-    """least(...) of the per-segment interior/vertex chord2 formulas."""
+def _segment_chord_list() -> list[str]:
+    """Per-segment interior/vertex chord2 formulas (one SQL expr each)."""
     from .specs import polyline_segments_xyz
 
     seg_exprs = []
@@ -1399,6 +1404,12 @@ def _segment_chord_exprs() -> str:
             f"ELSE least(least({xa2}, {xb2}), 4.0) END)"
         )
         seg_exprs.append(dist)
+    return seg_exprs
+
+
+def _segment_chord_exprs() -> str:
+    """least(...) of the per-segment interior/vertex chord2 formulas."""
+    seg_exprs = _segment_chord_list()
     best = seg_exprs[0]
     for e in seg_exprs[1:]:
         best = f"least({best}, {e})"
@@ -1415,6 +1426,156 @@ p AS ({xyz})
 SELECT event_id,
   round(degrees(2.0 * asin(0.5 * sqrt(least({best}, 4.0)))), 6) AS dist_deg_r
 FROM p
+"""
+
+
+def o_snap_join() -> str:
+    """Nearest-segment snap (ClosestEdgeQuery analog): same per-segment
+    interior/vertex chord2 formulas as o_segment_distance, with the ARGmin
+    resolved as the FIRST segment attaining the least() minimum — the numpy
+    argmin convention the Spark kernel path uses."""
+    segs = _segment_chord_list()
+    dcols = [f"d{i}" for i in range(len(segs))]
+    dsel = ", ".join(f"{e} AS d{i}" for i, e in enumerate(segs))
+    best = dcols[0]
+    for c in dcols[1:]:
+        best = f"least({best}, {c})"
+    whens = " ".join(f"WHEN {c} = best THEN {i}" for i, c in enumerate(dcols[:-1]))
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+d AS (SELECT event_id, {dsel} FROM p),
+b AS (SELECT event_id, {", ".join(dcols)}, {best} AS best FROM d)
+SELECT event_id,
+  CAST(CASE {whens} ELSE {len(dcols) - 1} END AS BIGINT) AS seg,
+  round(degrees(2.0 * asin(0.5 * sqrt(least(best, 4.0)))), 6) AS dist_deg_r
+FROM b
+"""
+
+
+def o_voronoi_assign() -> str:
+    """Nearest-hub Voronoi assignment (ClosestPointQuery analog): per-hub
+    chord2 fragments and the first-argmin CASE come from the shared specs
+    builders, so both engines evaluate the identical IEEE op tree."""
+    dists = specs.voronoi_dist_sql()
+    dcols = [f"d{i}" for i in range(len(dists))]
+    dsel = ", ".join(f"{e} AS d{i}" for i, e in enumerate(dists))
+    best = dcols[0]
+    for c in dcols[1:]:
+        best = f"least({best}, {c})"
+    pick = specs.voronoi_pick_sql(dcols)
+    xyz = _XYZ.format(id="event_id", src="pts")
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+d AS (SELECT event_id, {dsel} FROM p),
+b AS (SELECT event_id, {", ".join(dcols)}, {best} AS best FROM d)
+SELECT event_id, CAST({pick} AS BIGINT) AS hub, round(best, 7) AS chord2_r
+FROM b
+"""
+
+
+def o_step_midpoint() -> str:
+    """Trajectory resampling replay: per-user lag window -> normalized step
+    midpoint (pure IEEE +,*,/,sqrt — edgeutil.rs interpolate at t=1/2 up to
+    normalization) -> the SAME recursive Hilbert encode as o_tile_assign,
+    entered at the xyz stage via _hilbert_ctes(xyz_src=...), -> MID_LEVEL
+    ancestor.  Every op after the (bit-identical) trig is exact-mirrored,
+    so mid_tile is an exact integer in both engines."""
+    xyz = (
+        "SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    mid_src = (
+        "SELECT event_id, mx / nrm AS x, my / nrm AS y, mz / nrm AS z "
+        "FROM mn WHERE nrm > 0.0"
+    )
+    parent = _parent_from_pos(specs.MID_LEVEL, face="leaf.face", pos="leaf.pos")
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+q AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, q.event_id, q.x, q.y, q.z
+  FROM events e JOIN q ON e.event_id = q.event_id
+),
+st AS (
+  SELECT user_id, event_id,
+    lag(event_id) OVER w AS prev_event,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+m AS (
+  SELECT user_id, event_id, prev_event,
+    (px + x) AS mx, (py + y) AS my, (pz + z) AS mz
+  FROM st WHERE prev_event IS NOT NULL
+),
+mn AS (SELECT *, sqrt(mx * mx + my * my + mz * mz) AS nrm FROM m),
+{_hilbert_ctes("event_id", xyz_src=mid_src)}
+SELECT mn.user_id, mn.event_id, mn.prev_event, {parent} AS mid_tile
+FROM leaf JOIN mn ON leaf.event_id = mn.event_id
+"""
+
+
+def o_tile_churn() -> str:
+    """Temporal occupancy diff replay: recursive Hilbert encode ->
+    CHURN_LEVEL tile, events split into early/late halves at the midpoint
+    of the [min ts, max ts] span (exact integer microseconds; the
+    comparison is 2*offset <= span so no division rounding exists), then
+    per-tile conditional counts and the status CASE."""
+    parent = _parent_from_pos(specs.CHURN_LEVEL)
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")}
+, tiles AS (SELECT event_id, {parent} AS tile FROM leaf)
+, bounds AS (SELECT min(ts) AS ts_lo, max(ts) AS ts_hi FROM events)
+, halves AS (
+  SELECT t.tile,
+    CASE WHEN (epoch_us(e.ts) - epoch_us(b.ts_lo)) * 2
+              <= (epoch_us(b.ts_hi) - epoch_us(b.ts_lo))
+         THEN 0 ELSE 1 END AS h
+  FROM tiles t JOIN events e ON e.event_id = t.event_id CROSS JOIN bounds b
+)
+SELECT tile,
+  CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CASE WHEN sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) = 0 THEN 'new'
+       WHEN sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) = 0 THEN 'gone'
+       ELSE 'stable' END AS status,
+  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)
+       - sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta
+FROM halves GROUP BY tile
+"""
+
+
+def o_hotspot() -> str:
+    """Getis-Ord-style hotspot replay: the full o_focal_density statement as
+    a derived table, grid stats from EXACT integer window sums (count, sum,
+    sum of squares), then the mirrored double chain m = s1/n,
+    var = s2/n - m*m, z = (focal - m)/sqrt(var)."""
+    zt = specs.f(specs.HOTSPOT_Z)
+    return f"""
+SELECT face, ti, tj, focal_n, round(z, 6) AS z_r,
+  CAST(CASE WHEN z >= {zt} THEN 1 ELSE 0 END AS BIGINT) AS hot
+FROM (
+  SELECT *, CASE WHEN var > 0.0
+                 THEN (CAST(focal_n AS DOUBLE) - m) / sqrt(var)
+                 ELSE 0.0 END AS z
+  FROM (
+    SELECT *, CAST(s2 AS DOUBLE) / CAST(cnt AS DOUBLE) - m * m AS var
+    FROM (
+      SELECT *, CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS m
+      FROM (
+        SELECT *, count(*) OVER () AS cnt,
+          sum(focal_n) OVER () AS s1,
+          sum(focal_n * focal_n) OVER () AS s2
+        FROM ({o_focal_density()}) fd
+      ) t1
+    ) t2
+  ) t3
+) t4
 """
 
 
@@ -2305,6 +2466,11 @@ ORACLES = {
     "s2_od_matrix": o_od_matrix,
     "s2_covering_set_ops": o_covering_set_ops,
     "s2_segment_distance": o_segment_distance,
+    "s2_snap_join": o_snap_join,
+    "s2_voronoi_assign": o_voronoi_assign,
+    "s2_step_midpoint": o_step_midpoint,
+    "s2_tile_churn": o_tile_churn,
+    "s2_hotspot": o_hotspot,
     "s2_polyline_buffer_join": o_polyline_buffer_join,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,

@@ -1744,6 +1744,48 @@ def q_segment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("dist_deg", 6).alias("dist_deg_r"))
 
 
+def q_snap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-segment snap / map-matching (ClosestEdgeQuery analog,
+    closest_edge_query semantics over the shared polyline).
+
+    Same vectorized chord2_point_to_edge kernel as q_segment_distance
+    (edgeutil.rs:177-332), but tracking WHICH segment attains the minimum:
+    np.argmin's first-minimum tie-break is mirrored by the oracle's ordered
+    CASE over the same least() chain, so the assignment is deterministic in
+    both engines.  Plan shape: pure map over the tiled table (broadcast
+    segments, one Arrow stage, zero shuffles) — the 100 TB snap is
+    embarrassingly parallel."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel import edgeutil as eu
+
+    bc = session_broadcast(
+        spark,
+        "polyline_segs",
+        lambda: [(np.asarray(a), np.asarray(b)) for a, b in specs.polyline_segments_xyz()],
+    )
+
+    @pandas_udf("struct<seg: long, dist: double>")
+    def _snap(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+        la = np.radians(lat.to_numpy(np.float64))
+        ln = np.radians(lng.to_numpy(np.float64))
+        cl = np.cos(la)
+        xs = np.stack([cl * np.cos(ln), cl * np.sin(ln), np.sin(la)], axis=1)
+        ds = np.stack([eu.chord2_point_to_edge(xs, a, b) for a, b in bc.value], axis=0)
+        seg = np.argmin(ds, axis=0)
+        best = ds[seg, np.arange(ds.shape[1])]
+        ang = np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(best, 4.0))))
+        return pd.DataFrame({"seg": seg.astype(np.int64), "dist": ang})
+
+    docs = events_geo(spark, sf_dir)
+    out = docs.withColumn("sn", _snap(F.col("lat"), F.col("lng")))
+    return out.select(
+        "event_id",
+        F.col("sn.seg").alias("seg"),
+        F.round(F.col("sn.dist"), 6).alias("dist_deg_r"),
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate cosine search (the 100 TB scale path).
 
@@ -3148,6 +3190,201 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub Voronoi assignment (ClosestPointQuery analog,
+    closest_point_query semantics as ONE map expression): every event is
+    assigned to the closest of the K deterministic hub points by squared
+    chord distance, first-argmin tie-break.
+
+    The per-hub distance fragments and the argmin CASE come from the shared
+    specs builders, so Spark whole-stage codegen and DuckDB execute the
+    IDENTICAL IEEE op tree — no rounding is needed for the assignment
+    itself (chord2_r is rounded only for display).  Plan shape: pure
+    JVM-codegen map over the tiled table, zero shuffles, zero Python —
+    at 100 TB this is a scan-speed operator."""
+    docs = events_geo(spark, sf_dir)
+    la, ln = F.radians("lat"), F.radians("lng")
+    d = docs.select(
+        "event_id",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    dists = specs.voronoi_dist_sql()
+    dcols = [f"d{i}" for i in range(len(dists))]
+    d = d.withColumns({c: F.expr(e) for c, e in zip(dcols, dists)})
+    best = dcols[0]
+    for c in dcols[1:]:
+        best = f"least({best}, {c})"
+    d = d.withColumn("best", F.expr(best))
+    pick = specs.voronoi_pick_sql(dcols)
+    return d.select(
+        "event_id",
+        F.expr(pick).cast("long").alias("hub"),
+        F.round(F.col("best"), 7).alias("chord2_r"),
+    )
+
+
+def q_step_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling: the normalized midpoint of every consecutive
+    step (edgeutil.rs interpolate at t=1/2 — slerp(0.5) == normalize(a+b),
+    here as the explicit chord-midpoint normalization) encoded to its
+    MID_LEVEL S2 tile — the "where did the movement happen" feature for
+    flow rollups that attribute a step to the path rather than to its
+    endpoints.
+
+    Everything after the (bit-identical) lat/lng trig is exact IEEE
+    +,*,/,sqrt mirrored op-for-op by the oracle, and the encode is the SAME
+    pure-Column Hilbert walk the oracle replays recursively (the
+    s2_tile_assign contract), so mid_tile is an exact integer in both
+    engines.  Exact-antipodal pairs (midpoint norm 0) are excluded by both
+    sides' ``nrm > 0`` guard.  Plan shape: ONE user_id Exchange (the
+    trajectory window), then pure JVM codegen — no Python anywhere."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = g.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    )
+    m = g.where(F.col("prev_event").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        (F.col("px") + F.col("x")).alias("mx"),
+        (F.col("py") + F.col("y")).alias("my"),
+        (F.col("pz") + F.col("z")).alias("mz"),
+    )
+    mn = m.withColumn(
+        "nrm",
+        F.sqrt(
+            F.col("mx") * F.col("mx")
+            + F.col("my") * F.col("my")
+            + F.col("mz") * F.col("mz")
+        ),
+    ).where(F.col("nrm") > 0.0)
+    u = mn.withColumns(
+        {
+            "ux": F.col("mx") / F.col("nrm"),
+            "uy": F.col("my") / F.col("nrm"),
+            "uz": F.col("mz") / F.col("nrm"),
+        }
+    )
+    enc = tiling.with_leaf_cellid_xyz(u, "ux", "uy", "uz", out="mid_cell")
+    return enc.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        tiling.parent_col("mid_cell", specs.MID_LEVEL).alias("mid_tile"),
+    )
+
+
+def q_tile_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal change detection on the tile grid: which CHURN_LEVEL tiles
+    are newly occupied, abandoned, or stable between the early and late
+    halves of the corpus's time span — the freshness/drift view a training
+    pipeline uses to re-weight stale regions.
+
+    The half boundary is the midpoint of [min ts, max ts] in exact integer
+    microseconds; the comparison is ``2*offset <= span`` so no division
+    rounding exists anywhere.  Plan shape: ONE pass over events (scan ->
+    pure-Column encode -> parent tile), a broadcast of the 1-row min/max
+    aggregate, and ONE grid-bounded groupBy — the unbounded table is never
+    shuffled at full width."""
+    lvl = specs.CHURN_LEVEL
+    ev = _read(spark, sf_dir, "events", spread=False).select("event_id", "ts")
+    lat_sql, lng_sql = specs.latlng_sql("event_id")
+    pts = ev.select(
+        "event_id",
+        "ts",
+        F.expr(lat_sql).alias("lat"),
+        F.expr(lng_sql).alias("lng"),
+    )
+    tiled = tiling.with_leaf_cellid(pts).select(
+        "ts", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+    b = ev.agg(F.min("ts").alias("ts_lo"), F.max("ts").alias("ts_hi"))
+    j = tiled.crossJoin(F.broadcast(b))
+    off2 = F.expr("timestampdiff(MICROSECOND, ts_lo, ts)") * F.lit(2)
+    span = F.expr("timestampdiff(MICROSECOND, ts_lo, ts_hi)")
+    h = F.when(off2 <= span, F.lit(0)).otherwise(F.lit(1))
+    agg = j.groupBy("tile").agg(
+        F.sum(F.when(h == 0, 1).otherwise(0)).cast("long").alias("n_early"),
+        F.sum(F.when(h == 1, 1).otherwise(0)).cast("long").alias("n_late"),
+    )
+    status = (
+        F.when(F.col("n_early") == 0, F.lit("new"))
+        .when(F.col("n_late") == 0, F.lit("gone"))
+        .otherwise(F.lit("stable"))
+    )
+    return agg.select(
+        "tile",
+        "n_early",
+        "n_late",
+        status.alias("status"),
+        (F.col("n_late") - F.col("n_early")).cast("long").alias("delta"),
+    )
+
+
+def q_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style hotspot classification over the focal-density grid:
+    each occupied FOCAL_LEVEL tile's focal count as a z-score against the
+    occupied-grid mean, flagged hot above HOTSPOT_Z — the spatial-statistics
+    step between raw density and the vectorized hotspot footprint.
+
+    Grid stats come from EXACT integer aggregates (count, sum, sum of
+    squares over bigint counts), so the double chain m = s1/n,
+    var = s2/n - m*m, z = (x - m)/sqrt(var) is deterministic and mirrored
+    op-for-op by the oracle.  Plan shape: everything after the shared
+    _focal_table build touches only the grid-bounded table (<= 6*4^L rows
+    at ANY corpus size): a 1-row aggregate broadcast back onto it, then a
+    pure map."""
+    fd = q_focal_density(spark, sf_dir)
+    stats = fd.agg(
+        F.count("*").alias("cnt"),
+        F.sum("focal_n").alias("s1"),
+        F.sum(F.col("focal_n") * F.col("focal_n")).alias("s2"),
+    )
+    j = fd.crossJoin(F.broadcast(stats))
+    j = j.withColumn("m", F.col("s1").cast("double") / F.col("cnt").cast("double"))
+    j = j.withColumn(
+        "var",
+        F.col("s2").cast("double") / F.col("cnt").cast("double")
+        - F.col("m") * F.col("m"),
+    )
+    z = F.when(
+        F.col("var") > 0.0,
+        (F.col("focal_n").cast("double") - F.col("m")) / F.sqrt(F.col("var")),
+    ).otherwise(F.lit(0.0))
+    j = j.withColumn("z", z)
+    return j.select(
+        "face",
+        "ti",
+        "tj",
+        "focal_n",
+        F.round(F.col("z"), 6).alias("z_r"),
+        (F.col("z") >= specs.HOTSPOT_Z).cast("long").alias("hot"),
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -3433,6 +3670,11 @@ QUERIES = {
     "s2_od_matrix": q_od_matrix,
     "s2_covering_set_ops": q_covering_set_ops,
     "s2_segment_distance": q_segment_distance,
+    "s2_snap_join": q_snap_join,
+    "s2_voronoi_assign": q_voronoi_assign,
+    "s2_step_midpoint": q_step_midpoint,
+    "s2_tile_churn": q_tile_churn,
+    "s2_hotspot": q_hotspot,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,

@@ -300,6 +300,68 @@ COLOC_RADIUS = 3.0 * DISTANCE_JOIN_RADIUS  # 0.042 rad, ~267 km
 # s2_od_matrix: origin/destination tile level for consecutive-step flows.
 OD_LEVEL = 4
 
+# s2_step_midpoint: tile level for the resampled trajectory midpoints.
+MID_LEVEL = 10
+
+# s2_tile_churn: tile level for the temporal occupancy diff.  Level 6 keeps
+# the grid sparse at the gate SFs (24,576 cells vs 10k events at sf0.01) so
+# all three statuses (new / gone / stable) occur.
+CHURN_LEVEL = 6
+
+# s2_hotspot: a tile is "hot" when its focal density sits this many standard
+# deviations above the occupied-grid mean (Getis-Ord-style z threshold).
+# 1.5 yields non-empty hot AND non-hot classes at every gate SF (the LCG's
+# uniform-in-degrees lat concentrates points per unit area toward the poles,
+# so the z spread is real, not noise).
+HOTSPOT_Z = 1.5
+
+# s2_voronoi_assign hubs: deterministic "facility" points (major-city
+# lat/lngs) whose Voronoi cells partition the sphere.  Exact-double unit
+# vectors via the same _unit_xyz path the caps use; K is intentionally
+# larger than CAPS so the argmin chain is non-trivial.
+HUBS = [
+    ("hub_sfo", 37.6213, -122.3790),
+    ("hub_nyc", 40.7128, -74.0060),
+    ("hub_lon", 51.5074, -0.1278),
+    ("hub_gru", -23.5558, -46.6396),
+    ("hub_jnb", -26.2041, 28.0473),
+    ("hub_dxb", 25.2048, 55.2708),
+    ("hub_del", 28.6139, 77.2090),
+    ("hub_sin", 1.3521, 103.8198),
+    ("hub_tyo", 35.6762, 139.6503),
+    ("hub_syd", -33.8688, 151.2093),
+    ("hub_anc", 61.2181, -149.9003),
+    ("hub_scott", -77.8460, 166.6760),
+]
+
+
+def hub_rows() -> list[tuple[int, str, float, float, float]]:
+    """(hub_idx, hub_id, cx, cy, cz) with centers as exact doubles."""
+    out = []
+    for idx, (hid, lat, lng) in enumerate(HUBS):
+        cx, cy, cz = _unit_xyz(lat, lng)
+        out.append((idx, hid, cx, cy, cz))
+    return out
+
+
+def voronoi_dist_sql(x: str = "x", y: str = "y", z: str = "z") -> list[str]:
+    """Per-hub squared-chord SQL fragments over unit-xyz columns — the same
+    text is embedded on both engines, so the IEEE op trees are identical."""
+    dists = []
+    for _, _, cx, cy, cz in hub_rows():
+        a = f"({x} - ({f(cx)}))"
+        b = f"({y} - ({f(cy)}))"
+        c = f"({z} - ({f(cz)}))"
+        dists.append(f"({a}*{a} + {b}*{b} + {c}*{c})")
+    return dists
+
+
+def voronoi_pick_sql(dcols: list[str], best: str = "best") -> str:
+    """ARGmin as the FIRST hub index attaining the least() minimum
+    (deterministic tie-break by index — the numpy argmin convention)."""
+    whens = " ".join(f"WHEN {d} = {best} THEN {i}" for i, d in enumerate(dcols[:-1]))
+    return f"(CASE {whens} ELSE {len(dcols) - 1} END)"
+
 
 # ---------------------------------------------------------------------------
 # Raster -> vector (s2_vectorize): mask variants + cube-face edge topology

@@ -73,6 +73,25 @@ def leaf_cellid_udf():
     return _UDF_CACHE["leaf"]
 
 
+def leaf_cellid_xyz_udf():
+    """(x, y, z) unit vector -> leaf CellID as i64 (cellid.rs:862-869
+    from_point path) — the encode entry for DERIVED points (step midpoints,
+    interpolations) that never existed as a lat/lng row."""
+    if "leaf_xyz" not in _UDF_CACHE:
+
+        @pandas_udf("long")
+        def _leaf_xyz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+            cid = hilbert.cellid_from_xyz(
+                x.to_numpy(np.float64),
+                y.to_numpy(np.float64),
+                z.to_numpy(np.float64),
+            )
+            return pd.Series(cid.view(np.int64))
+
+        _UDF_CACHE["leaf_xyz"] = _leaf_xyz
+    return _UDF_CACHE["leaf_xyz"]
+
+
 def cellid_to_latlng_udf():
     """CellID i64 -> cell-center (lat, lng) degrees."""
     if "center" not in _UDF_CACHE:
@@ -144,6 +163,31 @@ def with_leaf_cellid(
             P + "z": F.sin(lat_r),
         }
     )
+    return _leaf_walk(df, out)
+
+
+def with_leaf_cellid_xyz(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+    out: str = "cell_id",
+) -> DataFrame:
+    """Unit-xyz columns -> leaf CellID, same pure-Column walk as
+    with_leaf_cellid but entered at the xyz stage — for DERIVED points
+    (step midpoints, interpolations) that never had a lat/lng row."""
+    P = "__s2_"
+    df = df.withColumns(
+        {P + "x": F.col(x_col), P + "y": F.col(y_col), P + "z": F.col(z_col)}
+    )
+    return _leaf_walk(df, out)
+
+
+def _leaf_walk(df: DataFrame, out: str) -> DataFrame:
+    """Shared tail of the pure-Column encode: (__s2_x, __s2_y, __s2_z) ->
+    face/uv/st/ij -> 8-round Hilbert walk -> ``out`` cellid column; drops
+    every __s2_ staging column."""
+    P = "__s2_"
     x, y, z = F.col(P + "x"), F.col(P + "y"), F.col(P + "z")
     ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
     f0 = F.when(ax > ay, F.when(ax > az, 0).otherwise(2)).otherwise(

@@ -1,0 +1,150 @@
+"""Numpy third-direction replays for the session's five spatial-analytics
+queries (snap / voronoi / step-midpoint / tile-churn / hotspot): the DuckDB
+oracle is the driver's gate; these pin each query's Spark plan to an
+independent numpy computation so a matched-but-wrong oracle pair can't slip
+through."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from rust_s2_spark.engine import specs
+from rust_s2_spark.kernel import edgeutil as eu
+from rust_s2_spark.kernel import hierarchy as h
+from rust_s2_spark.kernel import hilbert
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(table: str = "events", col: str = "event_id") -> np.ndarray:
+    return (
+        duckdb.sql(f"SELECT {col} FROM '{SF}/{table}.parquet'")
+        .fetchnumpy()[col]
+        .astype(np.int64)
+    )
+
+
+def _xyz(ids: np.ndarray) -> np.ndarray:
+    lat, lng = specs.latlng_np(ids)
+    la, ln = np.radians(lat), np.radians(lng)
+    return np.stack(
+        [np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)], axis=1
+    )
+
+
+def test_snap_join_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_snap_join"](spark, SF).collect()
+    ids = _ids()
+    xs = _xyz(ids)
+    ds = np.stack(
+        [
+            eu.chord2_point_to_edge(xs, np.asarray(a), np.asarray(b))
+            for a, b in specs.polyline_segments_xyz()
+        ],
+        axis=0,
+    )
+    seg = np.argmin(ds, axis=0)
+    best = ds[seg, np.arange(ds.shape[1])]
+    ang = np.round(np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(best, 4.0)))), 6)
+    want = {int(i): (int(s), float(a)) for i, s, a in zip(ids, seg, ang)}
+    got = {r.event_id: (r.seg, r.dist_deg_r) for r in rows}
+    assert got == want
+    assert len({s for s, _ in got.values()}) == len(specs.polyline_segments_xyz())
+    clear_geo_cache()
+
+
+def test_voronoi_assign_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_voronoi_assign"](spark, SF).collect()
+    ids = _ids()
+    xs = _xyz(ids)
+    hubs = np.array([[cx, cy, cz] for _, _, cx, cy, cz in specs.hub_rows()])
+    # mirror the SQL op tree: (x-cx)^2 + (y-cy)^2 + (z-cz)^2 per hub
+    d = ((xs[:, None, :] - hubs[None, :, :]) ** 2).sum(axis=2)
+    hub = np.argmin(d, axis=1)
+    best = np.round(d[np.arange(len(ids)), hub], 7)
+    want = {int(i): (int(hb), float(b)) for i, hb, b in zip(ids, hub, best)}
+    got = {r.event_id: (r.hub, r.chord2_r) for r in rows}
+    assert got == want
+    # the hub set must be non-trivially used
+    assert len({hb for hb, _ in got.values()}) >= 8
+    clear_geo_cache()
+
+
+def test_step_midpoint_matches_numpy(spark):
+    """Pins the with_leaf_cellid_xyz pure-Column walk to the numpy kernel
+    encode (cellid_from_xyz) over DERIVED points — the xyz entry the
+    lat/lng tile_assign vectors never exercise."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_step_midpoint"](spark, SF).collect()
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) AS us FROM '{SF}/events.parquet'"
+    ).fetchnumpy()
+    ids = ev["event_id"].astype(np.int64)
+    xs = _xyz(ids)
+    order = np.lexsort((ids, ev["us"].astype(np.int64), ev["user_id"]))
+    want = {}
+    for k in range(1, len(order)):
+        a, b = order[k - 1], order[k]
+        if ev["user_id"][a] != ev["user_id"][b]:
+            continue
+        m = xs[a] + xs[b]
+        nrm = np.sqrt(m[0] * m[0] + m[1] * m[1] + m[2] * m[2])
+        if not nrm > 0.0:
+            continue
+        u = m / nrm
+        leaf = hilbert.cellid_from_xyz(u[0], u[1], u[2])
+        tile = h.parent(np.uint64(leaf), specs.MID_LEVEL)
+        want[int(ids[b])] = (
+            int(ev["user_id"][b]),
+            int(ids[a]),
+            int(np.uint64(tile).astype(np.int64)),
+        )
+    got = {r.event_id: (r.user_id, r.prev_event, r.mid_tile) for r in rows}
+    assert got == want
+    assert len(got) > 900
+    clear_geo_cache()
+
+
+def test_tile_churn_conservation(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_tile_churn"](spark, SF).collect()
+    n_events = len(_ids())
+    assert sum(r.n_early + r.n_late for r in rows) == n_events
+    for r in rows:
+        assert r.delta == r.n_late - r.n_early
+        if r.status == "new":
+            assert r.n_early == 0 and r.n_late > 0
+        elif r.status == "gone":
+            assert r.n_late == 0 and r.n_early > 0
+        else:
+            assert r.status == "stable" and r.n_early > 0 and r.n_late > 0
+    statuses = {r.status for r in rows}
+    assert statuses == {"new", "gone", "stable"}
+    clear_geo_cache()
+
+
+def test_hotspot_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_hotspot"](spark, SF).collect()
+    focal = np.array(sorted(r.focal_n for r in rows), dtype=np.int64)
+    cnt = len(focal)
+    s1 = int(focal.sum())
+    s2 = int((focal * focal).sum())
+    m = float(s1) / float(cnt)
+    var = float(s2) / float(cnt) - m * m
+    assert var > 0.0
+    hot = sum(r.hot for r in rows)
+    for r in rows:
+        z = (float(r.focal_n) - m) / np.sqrt(var)
+        assert abs(r.z_r - round(z, 6)) < 1e-9
+        assert r.hot == (1 if z >= specs.HOTSPOT_Z else 0)
+    assert 0 < hot < cnt
+    clear_geo_cache()
