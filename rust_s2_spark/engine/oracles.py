@@ -1519,6 +1519,97 @@ FROM leaf JOIN mn ON leaf.event_id = mn.event_id
 """
 
 
+_TRAJ_STEP_CTES = """
+q AS (
+  SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x,
+    cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts
+),
+g AS (
+  SELECT e.user_id, e.ts, q.event_id, q.x, q.y, q.z
+  FROM events e JOIN q ON e.event_id = q.event_id
+),
+st AS (
+  SELECT user_id, event_id, ts,
+    lag(event_id) OVER w AS prev_event,
+    lag(ts) OVER w AS prev_ts,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+"""
+
+_CHORD2 = "(x - px) * (x - px) + (y - py) * (y - py) + (z - pz) * (z - pz)"
+
+
+def o_speed_filter() -> str:
+    """Per-step speed replay: exact integer-microsecond dt, the 6-dp
+    segment-distance idiom for arc length, speed computed FROM the rounded
+    distance and rounded again, bands compared against the ROUNDED speed —
+    every op mirrored from the Spark expression."""
+    pl = specs.f(specs.SPEED_PLAUSIBLE_DEG_H)
+    mx = specs.f(specs.SPEED_MAX_DEG_H)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_TRAJ_STEP_CTES.strip()},
+d AS (
+  SELECT user_id, event_id, prev_event,
+    epoch_us(ts) - epoch_us(prev_ts) AS dt_us,
+    round(degrees(2.0 * asin(0.5 * sqrt(least({_CHORD2}, 4.0)))), 6) AS dist_deg_r
+  FROM st WHERE prev_event IS NOT NULL
+),
+s AS (
+  SELECT *, CASE WHEN dt_us > 0
+    THEN round(dist_deg_r * 3600000000.0 / CAST(dt_us AS DOUBLE), 6)
+    ELSE NULL END AS speed_r
+  FROM d
+)
+SELECT user_id, event_id, prev_event, dt_us, dist_deg_r, speed_r,
+  CASE WHEN dt_us = 0 THEN 'anomalous'
+       WHEN speed_r <= {pl} THEN 'plausible'
+       WHEN speed_r <= {mx} THEN 'fast'
+       ELSE 'anomalous' END AS band
+FROM s
+"""
+
+
+def o_waypoints() -> str:
+    """Slerp densification replay: theta from the mirrored chord, weights
+    sin((1-t)θ)/sinθ and sin(tθ)/sinθ, the weighted combination, and the
+    atan2 lat/lng — op-for-op the Spark codegen tree; degenerate steps are
+    excluded by the identical sin_t > 0 predicate."""
+    tvals = ", ".join(
+        f"({k + 1}, {specs.f(t)})" for k, t in enumerate(specs.WAYPOINT_TS)
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_TRAJ_STEP_CTES.strip()},
+d AS (
+  SELECT user_id, event_id, px, py, pz, x, y, z,
+    2.0 * asin(0.5 * sqrt(least({_CHORD2}, 4.0))) AS theta
+  FROM st WHERE prev_event IS NOT NULL
+),
+d2 AS (SELECT *, sin(theta) AS sin_t FROM d),
+d3 AS (SELECT * FROM d2 WHERE sin_t > 0.0),
+e3 AS (
+  SELECT user_id, event_id, CAST(ks.k AS BIGINT) AS k,
+    sin((1.0 - ks.t) * theta) / sin_t AS wa,
+    sin(ks.t * theta) / sin_t AS wb,
+    px, py, pz, x, y, z
+  FROM d3, (VALUES {tvals}) ks(k, t)
+),
+wp AS (
+  SELECT user_id, event_id, k,
+    wa * px + wb * x AS wx, wa * py + wb * y AS wy, wa * pz + wb * z AS wz
+  FROM e3
+)
+SELECT user_id, event_id, k,
+  round(degrees(atan2(wz, sqrt(wx * wx + wy * wy))), 6) AS lat_r,
+  round(degrees(atan2(wy, wx)), 6) AS lng_r
+FROM wp
+"""
+
+
 def o_tile_churn() -> str:
     """Temporal occupancy diff replay: recursive Hilbert encode ->
     CHURN_LEVEL tile, events split into early/late halves at the midpoint
@@ -2469,6 +2560,8 @@ ORACLES = {
     "s2_snap_join": o_snap_join,
     "s2_voronoi_assign": o_voronoi_assign,
     "s2_step_midpoint": o_step_midpoint,
+    "s2_speed_filter": o_speed_filter,
+    "s2_waypoints": o_waypoints,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

