@@ -65,6 +65,9 @@ HEADLINE = [
     "s2_snap_join",
     "s2_voronoi_assign",
     "s2_step_midpoint",
+    "s2_speed_filter",
+    "s2_waypoints",
+    "s2_traj_simplify",
     "s2_tile_churn",
     "s2_hotspot",
     "s2_region_area_stats",

@@ -1610,6 +1610,115 @@ FROM wp
 """
 
 
+def o_traj_simplify() -> str:
+    """Douglas-Peucker replay as a recursive CTE over DP intervals.
+
+    The kept set is recursion-order independent (each interval's split
+    depends only on its own endpoints and interior points), so the CTE can
+    expand the DP tree breadth-first while the kernel pops a LIFO stack —
+    the emitted interval SET is identical.  Per interval, a correlated
+    LATERAL picks the first-argmax interior point under the EXACT
+    distance_from_segment op tree (edgeutil.py:82-124 mirrored layer by
+    layer: xa2/xb2/ab2 -> cross products -> interior predicate with the
+    4.75-eps error band -> chord2 CASE -> 2*asin(0.5*sqrt(least(c2,4)))),
+    ties broken by seq ASC = np.argmax's first-max.  A degenerate chord
+    (a == b, c2 = 0) forces adot = 0 so the interior predicate is false and
+    the endpoint branch is taken — same as the kernel's early return.  Kept
+    seqs = the distinct interval endpoints."""
+    eps = 2.220446049250313e-16
+    tol = specs.f(specs.SIMPLIFY_TOL_RAD)
+    c8 = specs.f(8.0 * eps * eps)
+    e = specs.f(eps)
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+q AS ({_XYZ.format(id="event_id", src="pts")}),
+g AS (
+  SELECT e.user_id, e.ts, q.event_id, q.x, q.y, q.z
+  FROM events e JOIN q ON e.event_id = q.event_id
+),
+p AS (
+  SELECT user_id, event_id, x, y, z,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - 1 AS seq
+  FROM g
+),
+seeds AS (SELECT user_id, 0 AS lo, max(seq) AS hi FROM p GROUP BY user_id),
+rec AS (
+  SELECT user_id, lo, hi FROM seeds
+  UNION ALL
+  SELECT u.user_id, u.lo, u.hi FROM (
+    SELECT s.user_id,
+      CASE side WHEN 0 THEN s.lo ELSE s.mid_seq END AS lo,
+      CASE side WHEN 0 THEN s.mid_seq ELSE s.hi END AS hi,
+      s.mid_d
+    FROM (
+      SELECT r.user_id, r.lo, r.hi, b.mid_seq, b.mid_d
+      FROM rec r
+      JOIN p pa ON pa.user_id = r.user_id AND pa.seq = r.lo
+      JOIN p pb ON pb.user_id = r.user_id AND pb.seq = r.hi
+      CROSS JOIN LATERAL (
+        SELECT s2.seq AS mid_seq,
+          2.0 * asin(0.5 * sqrt(least(s2.chord2, 4.0))) AS mid_d
+        FROM (
+          SELECT s1.seq,
+            CASE WHEN abs(s1.xa2 - s1.xb2)
+                      < s1.ab2 + (4.75e0 * {e} * ((s1.xa2 + s1.xb2) + s1.ab2) + {c8})
+                   AND ((s1.ax - s1.x) * s1.cxx + (s1.ay - s1.y) * s1.cxy
+                        + (s1.az - s1.z) * s1.cxz) < 0
+                   AND ((s1.bx - s1.x) * s1.cxx + (s1.by - s1.y) * s1.cxy
+                        + (s1.bz - s1.z) * s1.cxz) > 0
+              THEN s1.xdc * s1.xdc / s1.c2
+                   + (1.0 - sqrt((s1.cxx * s1.cxx + s1.cxy * s1.cxy
+                                  + s1.cxz * s1.cxz) / s1.c2))
+                     * (1.0 - sqrt((s1.cxx * s1.cxx + s1.cxy * s1.cxy
+                                    + s1.cxz * s1.cxz) / s1.c2))
+              ELSE least(least(s1.xa2, s1.xb2), 4.0) END AS chord2
+          FROM (
+            SELECT s0.*,
+              s0.cx * s0.cx + s0.cy * s0.cy + s0.cz * s0.cz AS c2,
+              s0.cx * s0.x + s0.cy * s0.y + s0.cz * s0.z AS xdc,
+              s0.cy * s0.z - s0.cz * s0.y AS cxx,
+              s0.cz * s0.x - s0.cx * s0.z AS cxy,
+              s0.cx * s0.y - s0.cy * s0.x AS cxz
+            FROM (
+              SELECT i.seq, i.x, i.y, i.z,
+                pa.x AS ax, pa.y AS ay, pa.z AS az,
+                pb.x AS bx, pb.y AS by, pb.z AS bz,
+                (i.x - pa.x) * (i.x - pa.x) + (i.y - pa.y) * (i.y - pa.y)
+                  + (i.z - pa.z) * (i.z - pa.z) AS xa2,
+                (i.x - pb.x) * (i.x - pb.x) + (i.y - pb.y) * (i.y - pb.y)
+                  + (i.z - pb.z) * (i.z - pb.z) AS xb2,
+                (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)
+                  + (pa.z - pb.z) * (pa.z - pb.z) AS ab2,
+                pa.y * pb.z - pa.z * pb.y AS cx,
+                pa.z * pb.x - pa.x * pb.z AS cy,
+                pa.x * pb.y - pa.y * pb.x AS cz
+              FROM p i
+              WHERE i.user_id = r.user_id AND i.seq > r.lo AND i.seq < r.hi
+            ) s0
+          ) s1
+        ) s2
+        ORDER BY mid_d DESC, s2.seq ASC
+        LIMIT 1
+      ) b
+      WHERE r.hi - r.lo >= 2
+    ) s, (VALUES (0), (1)) sides(side)
+    WHERE s.mid_d > {tol}
+  ) u
+),
+kept AS (
+  -- explicit outer DISTINCT: inside a WITH RECURSIVE block DuckDB compiles
+  -- a bare UNION CTE with its recursive machinery and does NOT dedup
+  SELECT DISTINCT user_id, seq FROM (
+    SELECT user_id, lo AS seq FROM rec
+    UNION ALL
+    SELECT user_id, hi AS seq FROM rec
+  ) both_ends
+)
+SELECT p.user_id, p.event_id, p.seq, (k.seq IS NOT NULL) AS kept
+FROM p LEFT JOIN kept k ON k.user_id = p.user_id AND k.seq = p.seq
+"""
+
+
 def o_tile_churn() -> str:
     """Temporal occupancy diff replay: recursive Hilbert encode ->
     CHURN_LEVEL tile, events split into early/late halves at the midpoint
@@ -2562,6 +2671,7 @@ ORACLES = {
     "s2_step_midpoint": o_step_midpoint,
     "s2_speed_filter": o_speed_filter,
     "s2_waypoints": o_waypoints,
+    "s2_traj_simplify": o_traj_simplify,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

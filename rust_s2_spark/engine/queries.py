@@ -3507,6 +3507,72 @@ def q_waypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory simplification: spherical Douglas-Peucker
+    (kernel/simplify.py simplify_points — the edgeutil.rs:224-227
+    distance_from_segment metric) marks which vertices survive at
+    SIMPLIFY_TOL_RAD, the map-generalization step run before rendering or
+    re-indexing trajectories.
+
+    Output: every event with its per-user (ts, event_id)-ordered sequence
+    index and a kept flag.  DP is inherently sequential per polyline, so the
+    kernel runs per user group via applyInPandas — key cardinality (users)
+    scales with the corpus while each group stays trajectory-sized, which is
+    exactly the shape that distributes.  xyz trig runs JVM-side before the
+    kernel (the stream_trajectory rationale): numpy only executes IEEE
+    -,*,+,/ plus sqrt/arcsin on engine-identical doubles, so the kept set is
+    bit-reproducible against the oracle's recursive-CTE replay of the same
+    recursion tree (the kept set is order-independent: each interval's split
+    depends only on its own endpoints and interior).  Plan shape: ONE
+    user_id Exchange feeding the Arrow stage; no driver work."""
+    docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "ts"
+    )
+    la, ln = F.radians("lat"), F.radians("lng")
+    g = ev.join(docs, on="event_id").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        (F.cos(la) * F.cos(ln)).alias("x"),
+        (F.cos(la) * F.sin(ln)).alias("y"),
+        F.sin(la).alias("z"),
+    )
+    tol = specs.SIMPLIFY_TOL_RAD
+
+    def _dp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.simplify import simplify_points
+
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy())
+        )
+        ids = pdf["event_id"].to_numpy()[order]
+        pts = np.stack(
+            [
+                pdf["x"].to_numpy()[order],
+                pdf["y"].to_numpy()[order],
+                pdf["z"].to_numpy()[order],
+            ],
+            axis=1,
+        )
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[simplify_points(pts, tol)] = True
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy()[order],
+                "event_id": ids,
+                "seq": np.arange(len(ids), dtype=np.int64),
+                "kept": keep,
+            }
+        )
+
+    return g.groupBy("user_id").applyInPandas(
+        _dp_group, schema="user_id long, event_id long, seq long, kept boolean"
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -3797,6 +3863,7 @@ QUERIES = {
     "s2_step_midpoint": q_step_midpoint,
     "s2_speed_filter": q_speed_filter,
     "s2_waypoints": q_waypoints,
+    "s2_traj_simplify": q_traj_simplify,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -319,6 +319,13 @@ SPEED_MAX_DEG_H = 50.0
 # s2_waypoints: interior slerp fractions per trajectory step (k = 1..3).
 WAYPOINT_TS = [0.25, 0.5, 0.75]
 
+# s2_traj_simplify: Douglas-Peucker tolerance in radians.  The LCG
+# trajectories are global random walks (median step ~11 deg), so a
+# real-map tolerance would drop nothing; 1.2 rad keeps ~56-59% of vertices
+# at every gate SF (measured 0.588 / 0.564 / 0.56x at sf0.001/0.01/0.1) —
+# both classes non-trivial everywhere.
+SIMPLIFY_TOL_RAD = 1.2
+
 # s2_hotspot: a tile is "hot" when its focal density sits this many standard
 # deviations above the occupied-grid mean (Getis-Ord-style z threshold).
 # 1.5 yields non-empty hot AND non-hot classes at every gate SF (the LCG's

@@ -226,3 +226,37 @@ def test_hotspot_matches_numpy(spark):
         assert r.hot == (1 if z >= specs.HOTSPOT_Z else 0)
     assert 0 < hot < cnt
     clear_geo_cache()
+
+
+def test_traj_simplify_matches_numpy(spark):
+    """Third direction: the Spark applyInPandas DP output must equal a
+    direct simplify_points run over duckdb-fetched arrays, AND satisfy the
+    DP contract — between each consecutive kept pair, every dropped vertex
+    lies within SIMPLIFY_TOL_RAD of that chord (it was dropped against
+    exactly that segment's interval)."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+    from rust_s2_spark.kernel.simplify import simplify_points
+
+    rows = QUERIES["s2_traj_simplify"](spark, SF).collect()
+    ids, us, uid, xs, _ = _steps()
+    order = np.lexsort((ids, us, uid))
+    want = {}
+    for u in np.unique(uid):
+        sel = order[uid[order] == u]
+        pts = xs[sel]
+        keep = np.zeros(len(sel), dtype=bool)
+        keep[simplify_points(pts, specs.SIMPLIFY_TOL_RAD)] = True
+        for s, (e, k) in enumerate(zip(ids[sel], keep)):
+            want[int(e)] = (int(u), s, bool(k))
+        # DP contract: dropped vertices within tol of the covering kept chord
+        kept_idx = np.nonzero(keep)[0]
+        for a, b in zip(kept_idx[:-1], kept_idx[1:]):
+            if b - a < 2:
+                continue
+            d = eu.distance_from_segment(pts[a + 1 : b], pts[a], pts[b])
+            assert float(d.max()) <= specs.SIMPLIFY_TOL_RAD
+    got = {r.event_id: (r.user_id, r.seq, r.kept) for r in rows}
+    assert got == want
+    kept_frac = sum(k for *_, k in got.values()) / len(got)
+    assert 0.2 < kept_frac < 0.9  # both classes non-trivial
+    clear_geo_cache()
