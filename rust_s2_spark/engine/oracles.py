@@ -2619,6 +2619,41 @@ FROM documents
 """
 
 
+def o_keyterms() -> str:
+    """TF-IDF-shaped lift replay: identical rational op tree — bigint
+    products cast to DOUBLE, one division, round 6 — over the same
+    whitespace tokenization; ties break by token ASC like the Spark
+    window."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+    unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, n_tokens, tok, count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, n_tokens, tok
+),
+d AS (
+  SELECT *, count(*) OVER (PARTITION BY tok) AS df,
+    (SELECT count(*) FROM documents) AS n_docs
+  FROM tf
+),
+r AS (
+  SELECT doc_id, tok, tf, df, n_tokens,
+    round(CAST(tf * n_docs AS DOUBLE) / CAST(n_tokens * df AS DOUBLE), 6) AS lift_r
+  FROM d
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lift_r DESC, tok ASC) AS rnk
+  FROM r
+)
+SELECT doc_id, rnk, tok, tf, df, n_tokens, lift_r
+FROM rk WHERE rnk <= {specs.KEYTERMS_K}
+"""
+
+
 def o_sample_hash() -> str:
     fold = _CHAR_FOLD.format(col="CAST(doc_id AS VARCHAR)")
     return f"""
@@ -2699,6 +2734,7 @@ ORACLES = {
     "events_cube": o_events_cube,
     "asof_join": o_asof_join,
     "token_count": o_token_count,
+    "doc_keyterms": o_keyterms,
     "sample_hash": o_sample_hash,
 }
 # Every query is oracled.  ann_ivf's search is approximate *relative to the

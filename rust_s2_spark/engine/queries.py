@@ -1688,6 +1688,55 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K distinctive terms per document — TF-IDF-shaped keyword
+    extraction, the per-doc topical signal a curation pipeline attaches as
+    training metadata.
+
+    The score is a pure RATIONAL lift, (tf/n_tokens)/(df/n_docs) computed
+    as round((tf*n_docs)/(n_tokens*df), 6): every operand is an exact
+    bigint, both products stay far below 2^53, so the single IEEE division
+    is bit-identical across engines — no log() (whose libm varies by
+    engine) anywhere.  Ties (common under a small vocabulary) break by
+    token ASC, making the rank window a total order.
+
+    Plan shape: explode -> partial-agg tf [Exchange 1 on (doc,tok)],
+    window-df over tok [Exchange 2, vocab-sized groups], rank window over
+    doc_id [Exchange 3]; n_docs is a 1-row scalar broadcast.  No joins, no
+    Python; at 100 TB each Exchange carries only (doc,term,count) rows —
+    corpus text is read exactly once."""
+    docs = _read(spark, sf_dir, "documents", spread=False)
+    text = F.col("text")
+    n_tokens = (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    ).cast("long")
+    toks = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.explode(F.split(text, " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "n_tokens", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    wd = Window.partitionBy("tok")
+    d = tf.withColumn("df", F.count(F.lit(1)).over(wd)).crossJoin(
+        F.broadcast(n_docs)
+    )
+    lift = F.round(
+        (F.col("tf") * F.col("n_docs")).cast("double")
+        / (F.col("n_tokens") * F.col("df")).cast("double"),
+        6,
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("lift_r").desc(), F.col("tok").asc()
+    )
+    return (
+        d.withColumn("lift_r", lift)
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= specs.KEYTERMS_K)
+        .select("doc_id", "rnk", "tok", "tf", "df", "n_tokens", "lift_r")
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based document sampling (30% rate).
 
@@ -3891,5 +3940,6 @@ QUERIES = {
     "events_cube": q_events_cube,
     "asof_join": q_asof_join,
     "token_count": q_token_count,
+    "doc_keyterms": q_doc_keyterms,
     "sample_hash": q_sample_hash,
 }

@@ -326,6 +326,11 @@ WAYPOINT_TS = [0.25, 0.5, 0.75]
 # both classes non-trivial everywhere.
 SIMPLIFY_TOL_RAD = 1.2
 
+# doc_keyterms: top-K distinctive terms per document.  K=3 keeps the output
+# doc-bounded while still exercising the full rank window (docs have ~30
+# distinct terms at every SF, so rank 3 is never vacuous).
+KEYTERMS_K = 3
+
 # s2_hotspot: a tile is "hot" when its focal density sits this many standard
 # deviations above the occupied-grid mean (Getis-Ord-style z threshold).
 # 1.5 yields non-empty hot AND non-hot classes at every gate SF (the LCG's
