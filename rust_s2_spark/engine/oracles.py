@@ -1719,6 +1719,41 @@ FROM p LEFT JOIN kept k ON k.user_id = p.user_id AND k.seq = p.seq
 """
 
 
+def o_traj_jaccard() -> str:
+    """Tile-set overlap replay: recursive Hilbert encode -> level ancestor,
+    DISTINCT (user, tile), the same > TRAJ_TILE_CAP stop-tile drop, then a
+    brute self-join on tile.  All cardinalities are exact bigints; the two
+    6-dp ratios are exact integer half-up divisions (no engine round())."""
+    lvl = specs.TRAJ_JACCARD_LEVEL
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_hilbert_ctes("event_id")}
+, ut AS (
+  SELECT DISTINCT e.user_id, {_parent_from_pos(lvl)} AS tile
+  FROM leaf JOIN events e ON e.event_id = leaf.event_id
+),
+nu AS (SELECT tile, count(*) AS nu FROM ut GROUP BY tile),
+keep AS (
+  SELECT u.user_id, u.tile FROM ut u JOIN nu ON nu.tile = u.tile
+  WHERE nu.nu <= {specs.TRAJ_TILE_CAP}
+),
+sizes AS (SELECT user_id, count(*) AS n FROM keep GROUP BY user_id),
+x AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
+  FROM keep a JOIN keep b ON a.tile = b.tile AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT x.user_a, x.user_b, x.inter, sa.n AS na, sb.n AS nb,
+  (2000000 * x.inter + (sa.n + sb.n - x.inter)) // (2 * (sa.n + sb.n - x.inter))
+    AS jaccard_e6,
+  (2000000 * x.inter + least(sa.n, sb.n)) // (2 * least(sa.n, sb.n))
+    AS containment_e6
+FROM x
+JOIN sizes sa ON sa.user_id = x.user_a
+JOIN sizes sb ON sb.user_id = x.user_b
+"""
+
+
 def o_tile_churn() -> str:
     """Temporal occupancy diff replay: recursive Hilbert encode ->
     CHURN_LEVEL tile, events split into early/late halves at the midpoint
@@ -2620,10 +2655,9 @@ FROM documents
 
 
 def o_keyterms() -> str:
-    """TF-IDF-shaped lift replay: identical rational op tree — bigint
-    products cast to DOUBLE, one division, round 6 — over the same
-    whitespace tokenization; ties break by token ASC like the Spark
-    window."""
+    """TF-IDF-shaped lift replay: the 6-dp lift is an exact integer
+    half-up division over the same whitespace tokenization (no engine
+    round()); ties break by token ASC like the Spark window."""
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -2642,14 +2676,14 @@ d AS (
 ),
 r AS (
   SELECT doc_id, tok, tf, df, n_tokens,
-    round(CAST(tf * n_docs AS DOUBLE) / CAST(n_tokens * df AS DOUBLE), 6) AS lift_r
+    (2000000 * tf * n_docs + n_tokens * df) // (2 * n_tokens * df) AS lift_e6
   FROM d
 ),
 rk AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lift_r DESC, tok ASC) AS rnk
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lift_e6 DESC, tok ASC) AS rnk
   FROM r
 )
-SELECT doc_id, rnk, tok, tf, df, n_tokens, lift_r
+SELECT doc_id, rnk, tok, tf, df, n_tokens, lift_e6
 FROM rk WHERE rnk <= {specs.KEYTERMS_K}
 """
 
@@ -2707,6 +2741,7 @@ ORACLES = {
     "s2_speed_filter": o_speed_filter,
     "s2_waypoints": o_waypoints,
     "s2_traj_simplify": o_traj_simplify,
+    "s2_traj_jaccard": o_traj_jaccard,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

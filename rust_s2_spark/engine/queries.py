@@ -1693,12 +1693,12 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, the per-doc topical signal a curation pipeline attaches as
     training metadata.
 
-    The score is a pure RATIONAL lift, (tf/n_tokens)/(df/n_docs) computed
-    as round((tf*n_docs)/(n_tokens*df), 6): every operand is an exact
-    bigint, both products stay far below 2^53, so the single IEEE division
-    is bit-identical across engines — no log() (whose libm varies by
-    engine) anywhere.  Ties (common under a small vocabulary) break by
-    token ASC, making the rank window a total order.
+    The score is a pure RATIONAL lift, (tf/n_tokens)/(df/n_docs), emitted
+    as the 6-dp scaled integer (2e6*tf*n_docs + n_tokens*df) div
+    (2*n_tokens*df) — exact integer half-up division, so no log() (whose
+    libm varies by engine) and no engine round() (whose halfway semantics
+    diverge on doubles) anywhere.  Ties (common under a small vocabulary)
+    break by token ASC, making the rank window a total order.
 
     Plan shape: explode -> partial-agg tf [Exchange 1 on (doc,tok)],
     window-df over tok [Exchange 2, vocab-sized groups], rank window over
@@ -1721,19 +1721,17 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tf.withColumn("df", F.count(F.lit(1)).over(wd)).crossJoin(
         F.broadcast(n_docs)
     )
-    lift = F.round(
-        (F.col("tf") * F.col("n_docs")).cast("double")
-        / (F.col("n_tokens") * F.col("df")).cast("double"),
-        6,
+    lift = F.expr(
+        "(2000000 * tf * n_docs + n_tokens * df) div (2 * n_tokens * df)"
     )
     wr = Window.partitionBy("doc_id").orderBy(
-        F.col("lift_r").desc(), F.col("tok").asc()
+        F.col("lift_e6").desc(), F.col("tok").asc()
     )
     return (
-        d.withColumn("lift_r", lift)
+        d.withColumn("lift_e6", lift)
         .withColumn("rnk", F.row_number().over(wr))
         .where(F.col("rnk") <= specs.KEYTERMS_K)
-        .select("doc_id", "rnk", "tok", "tf", "df", "n_tokens", "lift_r")
+        .select("doc_id", "rnk", "tok", "tf", "df", "n_tokens", "lift_e6")
     )
 
 
@@ -3622,6 +3620,81 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-overlap similarity join: Jaccard + containment between
+    every two users' occupied level-6 tile SETS (CellUnion intersection
+    semantics, cellunion.rs:419-466, as a relational self-join) — the
+    "which users move through the same places" matrix that feeds
+    co-travel detection and user dedup.
+
+    Exactness: every quantity is a set cardinality (bigint); the two
+    ratios are single IEEE divisions of exact ints — bit-identical across
+    engines, no rounding subtlety anywhere.
+
+    Scale shape (the ngram_jaccard design transplanted to space): the
+    per-user tile set is grid-bounded (<= 6*4^6 regardless of trajectory
+    length); tiles visited by > TRAJ_TILE_CAP distinct users are dropped
+    as non-discriminative stop-tiles BEFORE the self-join (and from the
+    sizes — overlap is defined over discriminative tiles), so one hot
+    urban-core tile can never cost O(users^2).  The hot set is tiny by
+    construction and broadcasts.  user_tiles persists once per session
+    (four consuming branches)."""
+    lvl = specs.TRAJ_JACCARD_LEVEL
+
+    def _build() -> DataFrame:
+        docs = events_geo(spark, sf_dir).select("event_id", "cell_id")
+        ev = _read(spark, sf_dir, "events", spread=False).select(
+            "event_id", "user_id"
+        )
+        ut = (
+            ev.join(docs, on="event_id")
+            .select("user_id", tiling.parent_col("cell_id", lvl).alias("tile"))
+            .distinct()
+        )
+        hot = (
+            ut.groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("nu"))
+            .where(F.col("nu") > specs.TRAJ_TILE_CAP)
+            .select("tile")
+        )
+        return ut.join(F.broadcast(hot), on="tile", how="left_anti")
+
+    ut = _aux_persisted(spark, sf_dir, "traj_tiles", _build)
+    sizes = ut.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(b, on="tile")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb"))
+    j = inter.join(F.broadcast(sa), "user_a").join(F.broadcast(sb), "user_b")
+    # Ratios as EXACT integer half-up division, not round(double, 6):
+    # engine round() semantics diverge on halfway decimal reprs (Spark
+    # rounds the shortest decimal repr HALF_UP, DuckDB rounds the binary
+    # value — an observed 1e-6 disagreement on 18 sf1 pairs).  Both
+    # operands are exact bigints, so (2*10^6*p + q) div (2*q) IS the
+    # correctly-rounded half-up 6-dp ratio, engine-independent.
+    return j.select(
+        "user_a",
+        "user_b",
+        "inter",
+        "na",
+        "nb",
+        F.expr(
+            "(2000000 * inter + (na + nb - inter)) div (2 * (na + nb - inter))"
+        ).alias("jaccard_e6"),
+        F.expr(
+            "(2000000 * inter + least(na, nb)) div (2 * least(na, nb))"
+        ).alias("containment_e6"),
+    )
+
+
 RASTER_LEVEL = 6
 
 
@@ -3913,6 +3986,7 @@ QUERIES = {
     "s2_speed_filter": q_speed_filter,
     "s2_waypoints": q_waypoints,
     "s2_traj_simplify": q_traj_simplify,
+    "s2_traj_jaccard": q_traj_jaccard,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

@@ -326,6 +326,16 @@ WAYPOINT_TS = [0.25, 0.5, 0.75]
 # both classes non-trivial everywhere.
 SIMPLIFY_TOL_RAD = 1.2
 
+# s2_traj_jaccard: trajectory-overlap similarity join over occupied
+# level-6 tile sets.  TRAJ_TILE_CAP is the stop-tile skew cap (the
+# NGRAM_DF_CAP analog): tiles visited by more distinct users than this are
+# non-discriminative and would cost O(users^2) in the self-join; overlap is
+# defined over the discriminative tiles.  200 binds only in sf1's hot tail
+# (measured users/tile: sf1 p99 = 165, max = 250; sf0.1 max = 33), so the
+# cap is exercised by the sf1 gate without perturbing smaller SFs.
+TRAJ_JACCARD_LEVEL = 6
+TRAJ_TILE_CAP = 200
+
 # doc_keyterms: top-K distinctive terms per document.  K=3 keeps the output
 # doc-bounded while still exercising the full rank window (docs have ~30
 # distinct terms at every SF, so rank 3 is never vacuous).

@@ -1,20 +1,20 @@
 """doc_keyterms (TF-IDF-shaped keyword extraction) vs a pure-Python
-replay: the lift is an exact rational — bigint products, one IEEE
-division, round 6 — so the replay must agree bit-for-bit, including the
-rank order (ties break by token ASC)."""
+replay: the 6-dp lift is an exact integer half-up division (no floats
+anywhere), so the replay must agree bit-for-bit, including the rank
+order (ties break by token ASC)."""
 
 from __future__ import annotations
 
 from collections import Counter
-from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 
 from rust_s2_spark.engine import specs
 
 
-def _round_half_up(x: float, nd: int) -> float:
-    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+def _lift_e6(p: int, q: int) -> int:
+    """Correctly-rounded half-up 6-dp ratio p/q as a scaled integer."""
+    return (2_000_000 * p + q) // (2 * q)
 
 
 def _replay(docs: list[tuple[int, str]]):
@@ -31,7 +31,7 @@ def _replay(docs: list[tuple[int, str]]):
     for doc_id, c in tf.items():
         scored = []
         for tok, f in c.items():
-            lift = _round_half_up((f * n_docs) / (ntok[doc_id] * df[tok]), 6)
+            lift = _lift_e6(f * n_docs, ntok[doc_id] * df[tok])
             scored.append((-lift, tok, f))
         scored.sort()
         for rnk, (neg, tok, f) in enumerate(scored[: specs.KEYTERMS_K], start=1):
@@ -47,7 +47,7 @@ def test_doc_keyterms_matches_python_replay(spark):
     want = _replay(docs)
     rows = QUERIES["doc_keyterms"](spark, sf).collect()
     got = {
-        (r.doc_id, r.rnk): (r.tok, r.tf, r.df, r.n_tokens, r.lift_r) for r in rows
+        (r.doc_id, r.rnk): (r.tok, r.tf, r.df, r.n_tokens, r.lift_e6) for r in rows
     }
     assert got == want
     # every doc contributes exactly K ranked terms, ranks 1..K
