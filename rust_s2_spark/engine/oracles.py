@@ -1719,6 +1719,69 @@ FROM p LEFT JOIN kept k ON k.user_id = p.user_id AND k.seq = p.seq
 """
 
 
+def o_line_crossings() -> str:
+    """simple_crossing replay: the same lag-window step frame, a CROSS
+    JOIN over the inlined segment constants (identical double literals,
+    including the precomputed cd cross products), and the three strict
+    sign tests with the op tree mirrored term for term.  Sign margins are
+    >= 2.5e-6 at sf0.001 (7.3e-11 at sf1) vs ~1e-16 trig ulp noise, so
+    membership is engine-exact."""
+    rows = []
+    for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
+        cd = (
+            c[1] * d[2] - c[2] * d[1],
+            c[2] * d[0] - c[0] * d[2],
+            c[0] * d[1] - c[1] * d[0],
+        )
+        rows.append(
+            f"({i}, {specs.f(c[0])}, {specs.f(c[1])}, {specs.f(c[2])}, "
+            f"{specs.f(d[0])}, {specs.f(d[1])}, {specs.f(d[2])}, "
+            f"{specs.f(cd[0])}, {specs.f(cd[1])}, {specs.f(cd[2])})"
+        )
+    vals = ", ".join(rows)
+    xyz = (
+        "SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.x, p.y, p.z
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, event_id,
+    lag(event_id) OVER w AS prev_event,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+segs(seg_id, cx, cy, cz, dx, dy, dz, cdx, cdy, cdz) AS (VALUES {vals}),
+e AS (
+  SELECT st.*, s.*,
+    (py * z - pz * y) AS abx,
+    (pz * x - px * z) AS aby,
+    (px * y - py * x) AS abz
+  FROM st CROSS JOIN segs s
+  WHERE st.prev_event IS NOT NULL
+),
+t AS (
+  SELECT user_id, event_id, prev_event, seg_id,
+    -(abx * cx + aby * cy + abz * cz) AS acb,
+    (abx * dx + aby * dy + abz * dz) AS bda,
+    -(cdx * x + cdy * y + cdz * z) AS cbd,
+    (cdx * px + cdy * py + cdz * pz) AS dac
+  FROM e
+)
+SELECT user_id, event_id, prev_event, seg_id,
+  CASE WHEN dac > 0 THEN 1 ELSE -1 END AS direction
+FROM t
+WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0
+"""
+
+
 def o_traj_jaccard() -> str:
     """Tile-set overlap replay: recursive Hilbert encode -> level ancestor,
     DISTINCT (user, tile), the same > TRAJ_TILE_CAP stop-tile drop, then a
@@ -2742,6 +2805,7 @@ ORACLES = {
     "s2_waypoints": o_waypoints,
     "s2_traj_simplify": o_traj_simplify,
     "s2_traj_jaccard": o_traj_jaccard,
+    "s2_line_crossings": o_line_crossings,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_polyline_buffer_join": o_polyline_buffer_join,

@@ -3620,6 +3620,85 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence / border line-crossing detection: every trajectory step
+    (prev -> cur per user) that properly crosses a segment of the
+    reference polyline, with the crossing direction — the EdgeCrosser
+    predicate (edgeutil.rs:96-113 simple_crossing; kernel
+    region.py:1152) exported as a relational operator.
+
+    Exactness: the predicate is three strict sign tests on products of
+    IEEE *,-,+ terms.  The step endpoints are trig-derived (JVM/DuckDB
+    libm differ by 1-4 ulp), but the smallest |product| across every
+    (step, segment) pair is 7.3e-11 at sf1 (measured; 2.5e-6 at sf0.001)
+    while the ulp perturbation is ~1e-16 — five-plus orders of margin, the
+    distance_self_join membership argument.  The segment constants AND
+    their precomputed cross products are inlined as exact double literals
+    on BOTH engines, so c, d, cd are bit-identical by construction.
+    direction = +1 when the step starts on the positive side of the
+    segment's great circle (sign of cd . prev) — inbound vs outbound.
+
+    Plan shape: the shared ONE-Exchange trajectory window, a 3-wide
+    explode of the inlined segment table, and the predicate in whole-stage
+    codegen — no Python, no second shuffle, no candidate generation
+    (the reference line is broadcast-sized; a road-network-scale line set
+    would swap the explode for a covering-cell equi-join like
+    s2_polyline_buffer_join's)."""
+    st = _traj_window(spark, sf_dir)
+    segs = []
+    for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
+        cd = (
+            c[1] * d[2] - c[2] * d[1],
+            c[2] * d[0] - c[0] * d[2],
+            c[0] * d[1] - c[1] * d[0],
+        )
+        segs.append(
+            f"named_struct('seg_id', {i}, "
+            f"'cx', {specs.f(c[0])}, 'cy', {specs.f(c[1])}, 'cz', {specs.f(c[2])}, "
+            f"'dx', {specs.f(d[0])}, 'dy', {specs.f(d[1])}, 'dz', {specs.f(d[2])}, "
+            f"'cdx', {specs.f(cd[0])}, 'cdy', {specs.f(cd[1])}, 'cdz', {specs.f(cd[2])})"
+        )
+    e = st.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        "px",
+        "py",
+        "pz",
+        "x",
+        "y",
+        "z",
+        F.explode(F.expr("array(" + ", ".join(segs) + ")")).alias("s"),
+    ).select("*", F.col("s.seg_id").alias("seg_id"))
+    abx = F.col("py") * F.col("z") - F.col("pz") * F.col("y")
+    aby = F.col("pz") * F.col("x") - F.col("px") * F.col("z")
+    abz = F.col("px") * F.col("y") - F.col("py") * F.col("x")
+    acb = -(abx * F.col("s.cx") + aby * F.col("s.cy") + abz * F.col("s.cz"))
+    bda = abx * F.col("s.dx") + aby * F.col("s.dy") + abz * F.col("s.dz")
+    cbd = -(
+        F.col("s.cdx") * F.col("x")
+        + F.col("s.cdy") * F.col("y")
+        + F.col("s.cdz") * F.col("z")
+    )
+    dac = (
+        F.col("s.cdx") * F.col("px")
+        + F.col("s.cdy") * F.col("py")
+        + F.col("s.cdz") * F.col("pz")
+    )
+    crossed = (acb * bda > 0) & (acb * cbd > 0) & (acb * dac > 0)
+    return (
+        e.withColumn("dac", dac)
+        .where(crossed)
+        .select(
+            "user_id",
+            "event_id",
+            "prev_event",
+            "seg_id",
+            F.when(F.col("dac") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+        )
+    )
+
+
 def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory-overlap similarity join: Jaccard + containment between
     every two users' occupied level-6 tile SETS (CellUnion intersection
@@ -3987,6 +4066,7 @@ QUERIES = {
     "s2_waypoints": q_waypoints,
     "s2_traj_simplify": q_traj_simplify,
     "s2_traj_jaccard": q_traj_jaccard,
+    "s2_line_crossings": q_line_crossings,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_polyline_buffer_join": q_polyline_buffer_join,

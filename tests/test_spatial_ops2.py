@@ -228,6 +228,51 @@ def test_hotspot_matches_numpy(spark):
     clear_geo_cache()
 
 
+def test_line_crossings_matches_numpy(spark):
+    """Third direction: the codegen simple_crossing predicate vs an
+    explicit-formula numpy replay (edgeutil.rs:96-113 op order), plus the
+    exactness precondition — every |sign product| must clear the trig ulp
+    noise by orders of magnitude, or the strict inequalities would not be
+    engine-exact."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_line_crossings"](spark, SF).collect()
+    ids, us, uid, xs, pairs = _steps()
+    want = {}
+    min_margin = np.inf
+    for si, (c, d) in enumerate(specs.polyline_segments_xyz()):
+        cx, cy, cz = c
+        dx, dy, dz = d
+        cdx, cdy, cdz = cy * dz - cz * dy, cz * dx - cx * dz, cx * dy - cy * dx
+        for a, b in pairs:
+            px, py, pz = xs[a]
+            x, y, z = xs[b]
+            abx, aby, abz = py * z - pz * y, pz * x - px * z, px * y - py * x
+            acb = -(abx * cx + aby * cy + abz * cz)
+            bda = abx * dx + aby * dy + abz * dz
+            cbd = -(cdx * x + cdy * y + cdz * z)
+            dac = cdx * px + cdy * py + cdz * pz
+            prods = (acb * bda, acb * cbd, acb * dac)
+            min_margin = min(min_margin, min(abs(p) for p in prods))
+            if prods[0] > 0 and prods[1] > 0 and prods[2] > 0:
+                want[(int(ids[b]), si)] = (
+                    int(uid[b]),
+                    int(ids[a]),
+                    1 if dac > 0 else -1,
+                )
+    got = {
+        (r.event_id, r.seg_id): (r.user_id, r.prev_event, r.direction)
+        for r in rows
+    }
+    assert got == want
+    assert len(got) > 10
+    # both directions occur (the geofence sees inbound AND outbound)
+    assert {v[2] for v in got.values()} == {1, -1}
+    # sign margins clear double-rounding noise by >= 6 orders of magnitude
+    assert min_margin > 1e-10
+    clear_geo_cache()
+
+
 def test_traj_simplify_matches_numpy(spark):
     """Third direction: the Spark applyInPandas DP output must equal a
     direct simplify_points run over duckdb-fetched arrays, AND satisfy the
