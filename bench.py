@@ -68,6 +68,9 @@ HEADLINE = [
     "s2_speed_filter",
     "s2_waypoints",
     "s2_traj_simplify",
+    "s2_traj_jaccard",
+    "s2_line_crossings",
+    "doc_keyterms",
     "s2_tile_churn",
     "s2_hotspot",
     "s2_region_area_stats",
@@ -185,6 +188,23 @@ def bench_streaming(spark) -> dict:
         _drop(name)
         return rows, dt
 
+    def drain_xing(tag):
+        name = f"bench_stream_xing_{tag}"
+        t0 = time.time()
+        xing = S.stream_line_crossings(spark, rows_per_batch=200_000)
+        q = (
+            xing.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dt = time.time() - t0
+        rows = _progress_rows(q)
+        _drop(name)
+        return rows, dt
+
     def median_of(drain, reps: int = 3):
         drain("warmup")
         runs = [drain(i) for i in range(reps)]
@@ -202,6 +222,7 @@ def bench_streaming(spark) -> dict:
         "stream_tile_counts": median_of(drain_tiles),
         "stream_attribution": median_of(drain_attr),
         "stream_trajectory": median_of(drain_traj),
+        "stream_line_crossings": median_of(drain_xing),
     }
 
 

@@ -1775,8 +1775,8 @@ t AS (
     (cdx * px + cdy * py + cdz * pz) AS dac
   FROM e
 )
-SELECT user_id, event_id, prev_event, seg_id,
-  CASE WHEN dac > 0 THEN 1 ELSE -1 END AS direction
+SELECT user_id, event_id, prev_event, CAST(seg_id AS BIGINT) AS seg_id,
+  CAST(CASE WHEN dac > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
 FROM t
 WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0
 """

@@ -3644,7 +3644,13 @@ def q_line_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference line is broadcast-sized; a road-network-scale line set
     would swap the explode for a covering-cell equi-join like
     s2_polyline_buffer_join's)."""
-    st = _traj_window(spark, sf_dir)
+    return line_crossing_frame(_traj_window(spark, sf_dir))
+
+
+def line_crossing_frame(st: DataFrame) -> DataFrame:
+    """Crossing detection over any step frame carrying (user_id, event_id,
+    prev_event, px, py, pz, x, y, z) — shared by the batch query and the
+    streaming pipeline so both run the IDENTICAL codegen predicate."""
     segs = []
     for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
         cd = (

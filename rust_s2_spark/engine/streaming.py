@@ -505,6 +505,105 @@ def batch_trajectory_reference(spark: SparkSession, n_rows: int) -> DataFrame:
     )
 
 
+_TRAJ_FRAME_OUT = (
+    "user_id long, event_id long, prev_event long, "
+    "px double, py double, pz double, x double, y double, z double"
+)
+
+
+def _traj_frame_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel emitting the full step FRAME
+    (prev point + cur point) instead of a derived distance — the stateful
+    carrier under downstream JVM-side geometry (crossing detection).  The
+    state contract is identical to _trajectory_fn's; no arithmetic runs
+    here at all (pure shuffling of already-JVM-computed doubles), so
+    streaming output is bit-identical to the batch lag window by
+    construction."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_eid, px, py, pz = state.get
+    else:
+        last_eid, px, py, pz = None, 0.0, 0.0, 0.0
+    chunks = [pdf for pdf in pdf_iter]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        eid = pdf["event_id"].to_numpy(np.int64)
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        z = pdf["z"].to_numpy(np.float64)
+        pxs = np.concatenate(([px], x[:-1]))
+        pys = np.concatenate(([py], y[:-1]))
+        pzs = np.concatenate(([pz], z[:-1]))
+        peid = np.concatenate(([last_eid if last_eid is not None else -1], eid[:-1]))
+        keep = np.ones(len(eid), dtype=bool)
+        if last_eid is None:
+            keep[0] = False
+        state.update((int(eid[-1]), float(x[-1]), float(y[-1]), float(z[-1])))
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(int(keep.sum()), user_id, dtype=np.int64),
+                    "event_id": eid[keep],
+                    "prev_event": peid[keep],
+                    "px": pxs[keep],
+                    "py": pys[keep],
+                    "pz": pzs[keep],
+                    "x": x[keep],
+                    "y": y[keep],
+                    "z": z[keep],
+                }
+            )
+
+
+def stream_line_crossings(spark: SparkSession, rows_per_batch: int = 500) -> DataFrame:
+    """Continuous geofence crossing detection: the stateful step-frame
+    pipeline feeding the SAME codegen simple_crossing predicate as the
+    batch query (queries.line_crossing_frame) — alerts stream out as
+    steps arrive, with the previous point carried across micro-batches."""
+    from .queries import line_crossing_frame
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    ev = _traj_xyz_cols(src, "value")
+    frame = ev.groupBy("user_id").applyInPandasWithState(
+        _traj_frame_fn,
+        outputStructType=_TRAJ_FRAME_OUT,
+        stateStructType=_TRAJ_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return line_crossing_frame(frame)
+
+
+def batch_line_crossings_reference(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Batch lag-window step frame through the same predicate — the exact
+    oracle for the streaming pipeline."""
+    from pyspark.sql import Window
+
+    from .queries import line_crossing_frame
+
+    g = _traj_xyz_cols(spark.range(n_rows), "id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    g = g.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lag("z").over(w).alias("pz"),
+        "x",
+        "y",
+        "z",
+    ).where(F.col("prev_event").isNotNull())
+    return line_crossing_frame(g)
+
+
 # ---------------------------------------------------------------------------
 # Stream-static spatial join: streaming docs vs the static covering table
 # ---------------------------------------------------------------------------

@@ -300,6 +300,49 @@ def test_streaming_throughput_floor(spark):
         assert best >= 10_000, f"{drain.__name__}: {best:.0f} rows/s under floor"
 
 
+def test_stream_line_crossings_matches_batch(spark):
+    """Continuous geofence detection across multiple micro-batches equals
+    the batch reference EXACTLY: the stateful kernel only reshuffles
+    JVM-computed doubles (no arithmetic), and the crossing predicate is
+    the literally shared line_crossing_frame Column code — including
+    crossings whose step spans a micro-batch boundary."""
+    import time
+
+    from rust_s2_spark.engine.streaming import (
+        batch_line_crossings_reference,
+        stream_line_crossings,
+    )
+
+    q = (
+        stream_line_crossings(spark, rows_per_batch=200)
+        .writeStream.format("memory")
+        .queryName("xing_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    consumed = sum(p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0)
+    assert consumed >= 800, "needed multiple micro-batches to exercise state"
+    got = {tuple(r) for r in spark.table("xing_test").collect()}
+    want = {
+        tuple(r) for r in batch_line_crossings_reference(spark, consumed).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # state carryover is load-bearing here: every user's step frame spans
+    # batch boundaries (ids are TRAJ_USERS apart), and a dropped/garbage
+    # carried point would flip some predicate and break got == want above.
+    # Both directions occur whenever the prefix is long enough to matter.
+    assert {r[4] for r in got} == {1, -1}
+
+
 def test_stateful_trajectory_matches_batch(spark):
     """Streaming per-user trajectory steps across MULTIPLE micro-batches
     equal the batch lag-window reference on the consumed prefix — EXACT
