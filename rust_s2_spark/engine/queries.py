@@ -1700,11 +1700,13 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge on doubles) anywhere.  Ties (common under a small vocabulary)
     break by token ASC, making the rank window a total order.
 
-    Plan shape: explode -> partial-agg tf [Exchange 1 on (doc,tok)],
-    window-df over tok [Exchange 2, vocab-sized groups], rank window over
-    doc_id [Exchange 3]; n_docs is a 1-row scalar broadcast.  No joins, no
-    Python; at 100 TB each Exchange carries only (doc,term,count) rows —
-    corpus text is read exactly once."""
+    Plan shape: explode -> partial-agg tf [Exchange 1 on (doc,tok)], df as
+    a vocab-sized groupBy joined back onto tf (a window over tok would
+    SORT the full tf table; AQE broadcasts the vocab side while it is
+    small and falls back to a shuffle join at corpus scale), rank window
+    over doc_id; n_docs is a 1-row scalar broadcast.  No Python; at
+    100 TB each Exchange carries only (doc,term,count) rows — corpus text
+    is read exactly once."""
     docs = _read(spark, sf_dir, "documents", spread=False)
     text = F.col("text")
     n_tokens = (
@@ -1717,10 +1719,10 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "n_tokens", "tok").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    wd = Window.partitionBy("tok")
-    d = tf.withColumn("df", F.count(F.lit(1)).over(wd)).crossJoin(
-        F.broadcast(n_docs)
-    )
+    # no broadcast hint on df_tbl: the vocab scales with the corpus (AQE
+    # broadcasts it while it is small, falls back to shuffle join at scale)
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    d = tf.join(df_tbl, on="tok").crossJoin(F.broadcast(n_docs))
     lift = F.expr(
         "(2000000 * tf * n_docs + n_tokens * df) div (2 * n_tokens * df)"
     )
@@ -3570,8 +3572,17 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     -,*,+,/ plus sqrt/arcsin on engine-identical doubles, so the kept set is
     bit-reproducible against the oracle's recursive-CTE replay of the same
     recursion tree (the kept set is order-independent: each interval's split
-    depends only on its own endpoints and interior).  Plan shape: ONE
-    user_id Exchange feeding the Arrow stage; no driver work."""
+    depends only on its own endpoints and interior).
+
+    Plan shape: ONE user_id Exchange (repartition + sortWithinPartitions —
+    secondary sort), then mapInPandas streaming WHOLE sorted partitions:
+    ~cores Arrow calls instead of one per user (groupBy().applyInPandas
+    paid per-tiny-group Arrow overhead — measured 4.6 -> ~1 s warm at
+    sf0.1 with 1,500 users; at a billion users the per-group tax is the
+    difference between a map stage and a stall).  A user whose rows span
+    an Arrow batch boundary is carried into the next batch (the batch cut
+    is the only place a user could split — partitioning guarantees all
+    their rows are in this partition, sorted)."""
     docs = events_geo(spark, sf_dir).select("event_id", "lat", "lng")
     ev = _read(spark, sf_dir, "events", spread=False).select(
         "event_id", "user_id", "ts"
@@ -3587,36 +3598,55 @@ def q_traj_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.cos(la) * F.sin(ln)).alias("y"),
         F.sin(la).alias("z"),
     )
+    n = spark.sparkContext.defaultParallelism
+    g = g.repartition(n, F.col("user_id")).sortWithinPartitions(
+        "user_id", "ts_us", "event_id"
+    )
     tol = specs.SIMPLIFY_TOL_RAD
 
-    def _dp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _dp_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Complete users only, globally sorted (user, ts, event)."""
         from ..kernel.simplify import simplify_points
 
-        order = np.lexsort(
-            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy())
-        )
-        ids = pdf["event_id"].to_numpy()[order]
+        uids = pdf["user_id"].to_numpy(np.int64)
+        ids = pdf["event_id"].to_numpy(np.int64)
         pts = np.stack(
             [
-                pdf["x"].to_numpy()[order],
-                pdf["y"].to_numpy()[order],
-                pdf["z"].to_numpy()[order],
+                pdf["x"].to_numpy(np.float64),
+                pdf["y"].to_numpy(np.float64),
+                pdf["z"].to_numpy(np.float64),
             ],
             axis=1,
         )
+        starts = np.nonzero(np.r_[True, uids[1:] != uids[:-1]])[0]
+        bounds = np.r_[starts, len(uids)]
         keep = np.zeros(len(ids), dtype=bool)
-        keep[simplify_points(pts, tol)] = True
+        seq = np.empty(len(ids), dtype=np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            keep[a + np.asarray(simplify_points(pts[a:b], tol))] = True
+            seq[a:b] = np.arange(b - a, dtype=np.int64)
         return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy()[order],
-                "event_id": ids,
-                "seq": np.arange(len(ids), dtype=np.int64),
-                "kept": keep,
-            }
+            {"user_id": uids, "event_id": ids, "seq": seq, "kept": keep}
         )
 
-    return g.groupBy("user_id").applyInPandas(
-        _dp_group, schema="user_id long, event_id long, seq long, kept boolean"
+    def _dp_partition(pdfs):
+        carry = None
+        for pdf in pdfs:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            uids = pdf["user_id"].to_numpy(np.int64)
+            # hold back the last user: their remaining rows may be in the
+            # next Arrow batch (rows are sorted by user within the batch)
+            cut = int(np.searchsorted(uids, uids[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield _dp_block(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield _dp_block(carry)
+
+    return g.mapInPandas(
+        _dp_partition, schema="user_id long, event_id long, seq long, kept boolean"
     )
 
 
