@@ -62,7 +62,7 @@ def run_at(n_exec: int, cores_per: int, n_docs: int, partitions: int, repeats: i
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     partitions = 128
-    repeats = 4
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
     # N executors for the small config (the big one is 4N); default 2 -> 8.
     # SPARK_GRAFT_SCALE_N=1 measures 1 -> 4 executors (4 -> 16 cores), which
     # stays under this VM's ~16-core kernel-contention ceiling.
