@@ -71,8 +71,11 @@ HEADLINE = [
     "s2_traj_jaccard",
     "s2_line_crossings",
     "doc_keyterms",
+    "doc_bigrams",
     "s2_tile_churn",
     "s2_hotspot",
+    "s2_moran",
+    "s2_ripley_k",
     "s2_region_area_stats",
     "s2_covering_set_ops",
     "dedup_exact",

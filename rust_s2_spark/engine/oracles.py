@@ -1877,6 +1877,132 @@ FROM (
 """
 
 
+def o_moran() -> str:
+    """Moran's I replay: occupied FOCAL_LEVEL grid counts from the
+    non-recursive encode prefix, rook adjacency rendered combinatorially
+    via the FACE_WRAP CASE tables (each tile's 4 neighbor coordinates
+    joined against the occupied set for nbr_sum/nn), then the exact-bigint
+    D_i/L_i algebra and the op-order-mirrored double chain with floor()
+    emission — floor of a bit-identical double agrees on ANY value, so no
+    round()-halfway hazard.  DuckDB sums promote to HUGEINT; every
+    aggregate is cast back to BIGINT to match Spark's long."""
+    lvl = specs.FOCAL_LEVEL
+    n = 1 << lvl
+    shift = 30 - lvl
+    in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj,
+    CAST(count(*) AS BIGINT) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+nb AS (
+  SELECT base.face, base.ti, base.tj, dirs.d,
+    ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+    tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+  FROM base, (VALUES (0),(1),(2),(3)) dirs(d)
+),
+nb2 AS (
+  SELECT face, ti, tj,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END AS tf,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END AS tti,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END AS ttj
+  FROM nb
+),
+recv AS (
+  SELECT nb2.face, nb2.ti, nb2.tj,
+    CAST(sum(b2.n) AS BIGINT) AS nbr_sum, CAST(count(*) AS BIGINT) AS nn
+  FROM nb2 JOIN base b2
+    ON b2.face = nb2.tf AND b2.ti = nb2.tti AND b2.tj = nb2.ttj
+  GROUP BY 1, 2, 3
+),
+tbl AS (
+  SELECT base.face, base.ti, base.tj, base.n,
+    COALESCE(recv.nbr_sum, CAST(0 AS BIGINT)) AS nbr_sum,
+    COALESCE(recv.nn, CAST(0 AS BIGINT)) AS nn
+  FROM base LEFT JOIN recv
+    ON base.face = recv.face AND base.ti = recv.ti AND base.tj = recv.tj
+),
+g1 AS (
+  SELECT *, CAST(count(*) OVER () AS BIGINT) AS n_tiles,
+    CAST(sum(n) OVER () AS BIGINT) AS s_tot,
+    CAST(sum(nn) OVER () AS BIGINT) AS w_pairs
+  FROM tbl
+),
+g2 AS (
+  SELECT *, n_tiles * n - s_tot AS d,
+    (n_tiles * n - s_tot) * (n_tiles * nbr_sum - nn * s_tot) AS lnum
+  FROM g1
+),
+g3 AS (
+  SELECT *, CAST(sum(d * d) OVER () AS BIGINT) AS den,
+    CAST(sum(lnum) OVER () AS BIGINT) AS num
+  FROM g2
+)
+SELECT CAST(face AS BIGINT) AS face, ti, tj, n, nn, d, lnum,
+  CAST(CASE WHEN den > 0 THEN floor(
+    1000000.0 * ((CAST(n_tiles AS DOUBLE) * CAST(lnum AS DOUBLE))
+                 / CAST(den AS DOUBLE)))
+    ELSE 0 END AS BIGINT) AS local_e6f,
+  n_tiles, w_pairs, num, den,
+  CAST(CASE WHEN den > 0 AND w_pairs > 0 THEN floor(
+    1000000.0 * ((CAST(n_tiles AS DOUBLE) * CAST(num AS DOUBLE))
+                 / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))))
+    ELSE 0 END AS BIGINT) AS moran_e6f
+FROM g3
+"""
+
+
+def o_ripley_k() -> str:
+    """Ripley's K replay: the o_distance_join brute force under the
+    lat-band prefilter supplies the pairs; bucketing compares the SAME
+    7-dp-rounded chord2_r the distance-join gate proves engine-identical
+    against the same exact double threshold literals; K̂ is the mirrored
+    double chain with floor() emission."""
+    import math
+
+    radius = specs.DISTANCE_JOIN_RADIUS
+    chord_max = 2.0 * math.sin(radius / 2.0)
+    r2_max = chord_max * chord_max
+    band_deg = math.degrees(radius) * 1.0000001
+    area = 4.0 * math.pi
+    xyz = (
+        "SELECT event_id, lat, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    sel = []
+    for k, frac in enumerate(specs.RIPLEY_FRACTIONS):
+        chord = 2.0 * math.sin(frac * radius / 2.0)
+        r2 = chord * chord
+        sel.append(
+            f"""SELECT CAST({k} AS BIGINT) AS r_idx,
+  (SELECT CAST(COALESCE(sum(CASE WHEN chord2_r <= {specs.f(r2)} THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pr) AS n_pairs,
+  (SELECT n_pts FROM np) AS n_pts"""
+        )
+    union = "\nUNION ALL\n".join(sel)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+pr AS (
+  SELECT round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z), 7) AS chord2_r
+  FROM p a JOIN p b
+    ON a.event_id < b.event_id
+   AND b.lat BETWEEN a.lat - {specs.f(band_deg)} AND a.lat + {specs.f(band_deg)}
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + (a.z - b.z) * (a.z - b.z) <= {specs.f(r2_max)}
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pts),
+u AS ({union})
+SELECT r_idx, n_pairs, n_pts,
+  CAST(CASE WHEN n_pts > 1 THEN floor(
+    1000000.0 * (({specs.f(area)} * (2.0 * CAST(n_pairs AS DOUBLE)))
+                 / (CAST(n_pts AS DOUBLE) * (CAST(n_pts AS DOUBLE) - 1.0))))
+    ELSE 0 END AS BIGINT) AS k_e6f
+FROM u
+"""
+
+
 def o_embed_dedup() -> str:
     return f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
@@ -2751,6 +2877,42 @@ FROM rk WHERE rnk <= {specs.KEYTERMS_K}
 """
 
 
+def o_doc_bigrams() -> str:
+    """Collocation replay: DuckDB zips same-SELECT unnests positionally,
+    so unnest(a[1:len-1]) / unnest(a[2:len]) IS the consecutive-pair
+    explode; the lift is the keyterms exact integer half-up division (no
+    log(), no engine round()); the top-K is a row_number over the same
+    (lift DESC, w1, w2) total order Spark's TakeOrderedAndProject uses."""
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents
+),
+uni AS (SELECT unnest(a) AS w FROM t),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+nt AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok FROM ucnt),
+pr AS (
+  SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2 FROM t
+),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= {specs.BIGRAM_MIN_COUNT}
+),
+d AS (
+  SELECT bc.w1, bc.w2, c_xy, u1.cu AS c_x, u2.cu AS c_y, nt.n_tok,
+    (2000000 * c_xy * nt.n_tok + u1.cu * u2.cu) // (2 * u1.cu * u2.cu) AS lift_e6
+  FROM bc
+  JOIN ucnt u1 ON u1.w = bc.w1
+  JOIN ucnt u2 ON u2.w = bc.w2, nt
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY lift_e6 DESC, w1 ASC, w2 ASC) AS rnk
+  FROM d
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c_xy, c_x, c_y, n_tok, lift_e6
+FROM rk WHERE rnk <= {specs.BIGRAM_K}
+"""
+
+
 def o_sample_hash() -> str:
     fold = _CHAR_FOLD.format(col="CAST(doc_id AS VARCHAR)")
     return f"""
@@ -2808,6 +2970,8 @@ ORACLES = {
     "s2_line_crossings": o_line_crossings,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
+    "s2_moran": o_moran,
+    "s2_ripley_k": o_ripley_k,
     "s2_polyline_buffer_join": o_polyline_buffer_join,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,
@@ -2834,6 +2998,7 @@ ORACLES = {
     "asof_join": o_asof_join,
     "token_count": o_token_count,
     "doc_keyterms": o_keyterms,
+    "doc_bigrams": o_doc_bigrams,
     "sample_hash": o_sample_hash,
 }
 # Every query is oracled.  ann_ivf's search is approximate *relative to the

@@ -1737,6 +1737,95 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation extraction: top-K consecutive word pairs
+    by PMI-shaped lift — the phrase-mining step (think "new york",
+    "machine learning") a training-data pipeline runs before tokenizer
+    retraining or stop-phrase screens.
+
+    Like doc_keyterms the score is a pure RATIONAL, (c_xy/N)/(c_x/N *
+    c_y/N) = c_xy*N/(c_x*c_y), emitted as an exact integer half-up 6-dp
+    division — no log() (libm varies by engine), no engine round()
+    (halfway semantics diverge on doubles).  Hapax pairs are screened by
+    BIGRAM_MIN_COUNT; output is the global top-BIGRAM_K by (lift, w1, w2)
+    — a total order, so LIMIT is deterministic.
+
+    Plan shape: ONE corpus scan feeds ONE combined explode (each doc
+    emits its unigrams as (w, NULL) and its bigrams as (w1, w2)) into ONE
+    (w1, w2) partial-agg Exchange, materialized as a PERSISTED count
+    table.  The persist is load-bearing, not a warm-bench convenience:
+    the three consumers filter on the grouping key (w2 IS [NOT] NULL), so
+    Catalyst pushes a DIFFERENT predicate below each branch's aggregate,
+    the canonical subtrees stop being equal, and ReuseExchange no longer
+    deduplicates them — without the persist the corpus would be scanned
+    and exploded once PER CONSUMER (measured: 4 FileScans).  The persisted
+    table is term-pair-bounded (vocab + distinct bigrams — far below
+    corpus scale), the price of ONE corpus scan total.  The lift join
+    touches vocab-bounded tables (AQE broadcasts while small); the global
+    top-K is TakeOrderedAndProject — each task keeps K rows, one tiny
+    collect, so nothing driver-side scales with the corpus."""
+
+    def build() -> DataFrame:
+        docs = _read(spark, sf_dir, "documents", spread=False)
+        toks = docs.select(
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("a")
+        )
+        # unigram rows are struct(w, NULL); bigram rows struct(w1, w2) —
+        # one explode, one groupBy exchange for every count this query
+        # needs.  (slice start beyond the array and length 0 both yield
+        # [], so 0- and 1-token docs contribute no bigrams; greatest()
+        # guards the 0 case.)
+        combined = (
+            "concat("
+            "transform(a, x -> struct(x AS w1, CAST(NULL AS STRING) AS w2)), "
+            "zip_with(slice(a, 1, greatest(size(a)-1, 0)), "
+            "slice(a, 2, greatest(size(a)-1, 0)), "
+            "(x, y) -> struct(x AS w1, y AS w2)))"
+        )
+        return (
+            toks.select(F.explode(F.expr(combined)).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    cnt = _aux_persisted(spark, sf_dir, "bigram_counts", build)
+    uni = cnt.where(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("c").alias("cu")
+    )
+    n_tok = uni.agg(F.sum("cu").alias("n_tok"))
+    big = cnt.where(F.col("w2").isNotNull()).where(
+        F.col("c") >= specs.BIGRAM_MIN_COUNT
+    )
+    d = (
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("c_x")),
+            on="w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("c_y")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(n_tok))
+    )
+    lift = F.expr("(2000000 * c * n_tok + c_x * c_y) div (2 * c_x * c_y)")
+    d = d.withColumn("lift_e6", lift)
+    top = d.orderBy(
+        F.col("lift_e6").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(specs.BIGRAM_K)
+    w = Window.orderBy(F.col("lift_e6").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "rnk",
+        "w1",
+        "w2",
+        F.col("c").alias("c_xy"),
+        "c_x",
+        "c_y",
+        "n_tok",
+        "lift_e6",
+    )
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based document sampling (30% rate).
 
@@ -3410,6 +3499,227 @@ def q_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global + local Moran's I — spatial autocorrelation of the
+    FOCAL_LEVEL tile counts under rook (FACE_WRAP edge-neighbor) binary
+    weights restricted to occupied tiles (cellid.rs:336-347 adjacency).
+    The inferential step after s2_hotspot: "are the dense tiles CLUSTERED,
+    or is the density spatially random?" — the statistic every spatial
+    epidemiology / geomarketing pipeline reports alongside its hotspot map.
+
+    Exactness: with N occupied tiles and S total events, the scaled
+    deviation D_i = N*x_i - S is an exact bigint (clears the mean S/N with
+    no division) and the N^2 scale cancels in the ratio, so
+    I = N * sum_i D_i*L_i / (W * sum_i D_i^2) with
+    L_i = N*nbr_sum_i - nn_i*S (nbr_sum/nn = occupied-neighbor count-sum /
+    arity, W = sum nn).  Every aggregate is integer; only the final ratio
+    is a double — emitted as floor(1e6 * ratio) over a chain mirrored
+    op-for-op by the oracle: the operands are IDENTICAL bigints on both
+    engines, each cast rounds identically (IEEE nearest), each op is
+    deterministic, and floor() of the same double agrees ALWAYS — immune
+    to the round()-halfway divergence the sf1 gate caught on rational
+    ratios (ROUND5.md session 6).
+
+    Plan shape: the unbounded events table is touched only by the shared
+    memoized _focal_table build (ONE groupBy); everything after is
+    grid-bounded (<= 6*4^L rows at ANY corpus size): a narrow Arrow
+    neighbor-contribution stage + tiny groupBy, two 1-row aggregates
+    broadcast back, then a pure map.  At 100 TB the added cost over
+    focal_density is milliseconds."""
+    from ..kernel import hierarchy
+
+    counts = _focal_table(spark, sf_dir).select("tile", "n")
+
+    def contrib(batches):
+        # each occupied tile sends (count, 1) to its 4 FACE_WRAP edge
+        # neighbors — NOT to itself (w_ii = 0 by definition); adjacency is
+        # symmetric, so arrivals at t are exactly t's occupied neighbors
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            n = pdf["n"].to_numpy(np.int64)
+            nbrs = np.asarray(
+                hierarchy.edge_neighbors(t.view(np.uint64))
+            ).view(np.int64)
+            yield pd.DataFrame(
+                {"target": nbrs.reshape(-1), "c": np.repeat(n, 4)}
+            )
+
+    recv = (
+        counts.mapInPandas(contrib, schema="target long, c long")
+        .groupBy("target")
+        .agg(
+            F.sum("c").alias("nbr_sum"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+    )
+    tbl = (
+        counts.join(recv, counts["tile"] == recv["target"], "left")
+        .select(
+            "tile",
+            "n",
+            F.coalesce(F.col("nbr_sum"), F.lit(0).cast("long")).alias("nbr_sum"),
+            F.coalesce(F.col("nn"), F.lit(0).cast("long")).alias("nn"),
+        )
+    )
+    g1 = tbl.agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n").alias("s_tot"),
+        F.sum("nn").alias("w_pairs"),
+    )
+    tbl = tbl.crossJoin(F.broadcast(g1))
+    d = F.col("n_tiles") * F.col("n") - F.col("s_tot")
+    li = F.col("n_tiles") * F.col("nbr_sum") - F.col("nn") * F.col("s_tot")
+    tbl = tbl.withColumn("d", d).withColumn("lnum", d * li)
+    g2 = tbl.agg(
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        F.sum("lnum").alias("num"),
+    )
+    tbl = tbl.crossJoin(F.broadcast(g2))
+    # mirrored double chain: cast each bigint, multiply/divide in this
+    # exact order, floor.  Zero guards: DEN = 0 (all counts equal) and
+    # W = 0 (no occupied adjacency) both emit 0.
+    nd = F.col("n_tiles").cast("double")
+    local = F.when(
+        F.col("den") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (nd * F.col("lnum").cast("double") / F.col("den").cast("double"))
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    glob = F.when(
+        (F.col("den") > 0) & (F.col("w_pairs") > 0),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                nd
+                * F.col("num").cast("double")
+                / (F.col("w_pairs").cast("double") * F.col("den").cast("double"))
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    tbl = tbl.select(
+        "tile",
+        "n",
+        "nn",
+        "d",
+        "lnum",
+        local.alias("local_e6f"),
+        "n_tiles",
+        "w_pairs",
+        "num",
+        "den",
+        glob.alias("moran_e6f"),
+    )
+    sh = 30 - specs.FOCAL_LEVEL
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+            out = pd.DataFrame(
+                {
+                    "face": face.astype(np.int64),
+                    "ti": (i >> sh).astype(np.int64),
+                    "tj": (j >> sh).astype(np.int64),
+                }
+            )
+            for c in (
+                "n",
+                "nn",
+                "d",
+                "lnum",
+                "local_e6f",
+                "n_tiles",
+                "w_pairs",
+                "num",
+                "den",
+                "moran_e6f",
+            ):
+                out[c] = pdf[c].to_numpy(np.int64)
+            yield out
+
+    return tbl.mapInPandas(
+        decode,
+        schema=(
+            "face long, ti long, tj long, n long, nn long, d long, "
+            "lnum long, local_e6f long, n_tiles long, w_pairs long, "
+            "num long, den long, moran_e6f long"
+        ),
+    )
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern statistic at RIPLEY_FRACTIONS of the
+    epsilon radius — the "is this clustering significant at which scale?"
+    summary a spatial pipeline reports next to its DBSCAN output.
+
+    K̂(r) = A * 2*n_pairs(r) / (n*(n-1)) on the unit sphere (A = 4π).
+    Pair counts come from the MEMOIZED epsilon-graph pairs
+    (s2_distance_join): bucketing compares the emitted 7-dp chord2_r —
+    a value the gate already proves bit-identical across engines at every
+    SF — against exact double literals, so membership is engine-exact by
+    construction (no fresh margin argument needed).  The count columns are
+    pure bigints; the K̂ values are floor(1e6 * chain) over a mirrored
+    double chain (same floor-not-round rationale as s2_moran).
+
+    Plan shape: the expensive part IS the memoized distance join (one
+    cell-keyed shuffle + broadcast Moore map); this query adds one
+    grid-trivial conditional aggregate and a 1-row cross join.  Output is
+    |RIPLEY_FRACTIONS| rows at any input scale."""
+    import math
+
+    pairs = q_distance_join(spark, sf_dir)
+    n_pts = events_geo(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_pts"))
+    aggs = []
+    for k, frac in enumerate(specs.RIPLEY_FRACTIONS):
+        chord = 2.0 * math.sin(frac * specs.DISTANCE_JOIN_RADIUS / 2.0)
+        r2 = chord * chord
+        aggs.append(
+            F.sum(
+                F.when(F.col("chord2_r") <= F.lit(r2), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"np_{k}")
+        )
+    row = pairs.agg(*aggs).crossJoin(F.broadcast(n_pts))
+    area = 4.0 * math.pi
+    out = None
+    for k, frac in enumerate(specs.RIPLEY_FRACTIONS):
+        np_k = F.coalesce(F.col(f"np_{k}"), F.lit(0).cast("long"))
+        khat = (
+            F.when(
+                F.col("n_pts") > 1,
+                F.floor(
+                    F.lit(1000000.0)
+                    * (
+                        F.lit(area)
+                        * (F.lit(2.0) * np_k.cast("double"))
+                        / (
+                            F.col("n_pts").cast("double")
+                            * (F.col("n_pts").cast("double") - F.lit(1.0))
+                        )
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        r = row.select(
+            F.lit(k).cast("long").alias("r_idx"),
+            np_k.alias("n_pairs"),
+            F.col("n_pts"),
+            khat.alias("k_e6f"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def _traj_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-user step frame: (user_id, event_id, prev_event, ts,
     prev_ts, px/py/pz, x/y/z) — the lag-window primitive under
@@ -4105,6 +4415,8 @@ QUERIES = {
     "s2_line_crossings": q_line_crossings,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
+    "s2_moran": q_moran,
+    "s2_ripley_k": q_ripley_k,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -4131,5 +4443,6 @@ QUERIES = {
     "asof_join": q_asof_join,
     "token_count": q_token_count,
     "doc_keyterms": q_doc_keyterms,
+    "doc_bigrams": q_doc_bigrams,
     "sample_hash": q_sample_hash,
 }

@@ -348,6 +348,30 @@ KEYTERMS_K = 3
 # so the z spread is real, not noise).
 HOTSPOT_Z = 1.5
 
+# s2_moran: global + local Moran's I spatial autocorrelation over the
+# FOCAL_LEVEL tile counts with rook (FACE_WRAP edge-neighbor) binary
+# weights restricted to OCCUPIED tiles.  All intermediates are exact
+# bigints — the scaled deviation D_i = N*x_i - S (N tiles, S total count)
+# clears the x̄ = S/N rational without any division; the N² scale cancels
+# in the I ratio.  The emitted statistic is floor(1e6 * I) over a
+# mirrored double chain (floor of a bit-identical double is engine-exact
+# for ANY value — no round()-halfway hazard, the class the sf1 gate caught
+# in the containment ratios).
+
+# s2_ripley_k: point-pattern K function at these fractions of
+# DISTANCE_JOIN_RADIUS, counted from the memoized epsilon-graph pairs (the
+# chord2_r values the gate already proves engine-identical).  1.0 makes
+# the largest bucket the full pair set; the smaller fractions give real
+# radial structure at every gate SF.
+RIPLEY_FRACTIONS = (0.5, 0.75, 1.0)
+
+# doc_bigrams: corpus-level collocation extraction — top-K consecutive
+# word pairs by exact rational PMI lift (c_xy*N_tok)/(c_x*c_y), no log().
+# MIN_COUNT screens hapax pairs (lift of a count-1 pair is pure noise);
+# K bounds the output at any corpus size.
+BIGRAM_MIN_COUNT = 5
+BIGRAM_K = 100
+
 # s2_voronoi_assign hubs: deterministic "facility" points (major-city
 # lat/lngs) whose Voronoi cells partition the sphere.  Exact-double unit
 # vectors via the same _unit_xyz path the caps use; K is intentionally

