@@ -2003,6 +2003,103 @@ FROM u
 """
 
 
+def o_tile_diversity() -> str:
+    """Gini-Simpson replay: leaf (face,i,j) via the encode prefix, joined
+    to events for user_id, then the same two nested aggregates and the
+    exact integer half-up division — no doubles anywhere."""
+    lvl = specs.FOCAL_LEVEL
+    shift = 30 - lvl
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+tu AS (
+  SELECT ij.face, ij.i >> {shift} AS ti, ij.j >> {shift} AS tj,
+    e.user_id, CAST(count(*) AS BIGINT) AS cu
+  FROM ij JOIN events e ON e.event_id = ij.event_id
+  GROUP BY 1, 2, 3, 4
+),
+tt AS (
+  SELECT face, ti, tj, CAST(sum(cu) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS u_cnt,
+    CAST(sum(cu * cu) AS BIGINT) AS sumsq
+  FROM tu GROUP BY 1, 2, 3
+)
+SELECT CAST(face AS BIGINT) AS face, ti, tj, n, u_cnt, sumsq,
+  (2000000 * (n * n - sumsq) + n * n) // (2 * n * n) AS simpson_e6
+FROM tt
+"""
+
+
+def o_idw_smooth() -> str:
+    """IDW smoothing replay: occupied grid counts from the encode prefix,
+    rings by DISK_K-style recursive BFS (depth <= 2) from EVERY occupied
+    tile with the FACE_WRAP CASE tables, min(ring) per (source, target),
+    ring-1/ring-2 integer weights, exact half-up division and exact bigint
+    residual — the same combinatorial machinery o_cell_disk trusts."""
+    lvl = specs.FOCAL_LEVEL
+    n = 1 << lvl
+    shift = 30 - lvl
+    in_range = f"ri BETWEEN 0 AND {n - 1} AND rj BETWEEN 0 AND {n - 1}"
+    w1, w2 = specs.IDW_W1, specs.IDW_W2
+    return f"""
+WITH RECURSIVE pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+base AS (
+  SELECT face, i >> {shift} AS ti, j >> {shift} AS tj,
+    CAST(count(*) AS BIGINT) AS n
+  FROM ij GROUP BY 1, 2, 3
+),
+bfs(sf, sti, stj, face, ti, tj, ring) AS (
+  SELECT face, ti, tj, face, ti, tj, 0 FROM base
+  UNION
+  SELECT sf, sti, stj,
+    CASE WHEN {in_range} THEN face ELSE {_wrap_case('f', n)} END,
+    CASE WHEN {in_range} THEN ri ELSE {_wrap_case('ti', n)} END,
+    CASE WHEN {in_range} THEN rj ELSE {_wrap_case('tj', n)} END,
+    ring + 1
+  FROM (
+    SELECT w.sf, w.sti, w.stj, w.face, w.ti, w.tj, w.ring, dirs.d,
+      w.ti + (CASE dirs.d WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS ri,
+      w.tj + (CASE dirs.d WHEN 2 THEN 1 WHEN 0 THEN -1 ELSE 0 END) AS rj
+    FROM bfs w, (VALUES (0),(1),(2),(3)) dirs(d)
+    WHERE w.ring < 2
+  ) s
+),
+disk AS (
+  SELECT sf, sti, stj, face, ti, tj, min(ring) AS ring
+  FROM bfs GROUP BY 1, 2, 3, 4, 5, 6
+),
+contrib AS (
+  SELECT d.face, d.ti, d.tj,
+    CAST(CASE d.ring WHEN 1 THEN {w1} ELSE {w2} END AS BIGINT) AS w,
+    CAST(CASE d.ring WHEN 1 THEN {w1} ELSE {w2} END AS BIGINT) * b.n AS c
+  FROM disk d
+  JOIN base b ON b.face = d.sf AND b.ti = d.sti AND b.tj = d.stj
+  WHERE d.ring > 0
+),
+recv AS (
+  SELECT face, ti, tj, CAST(sum(c) AS BIGINT) AS num,
+    CAST(sum(w) AS BIGINT) AS den
+  FROM contrib GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT b.face, b.ti, b.tj, b.n,
+    COALESCE(r.num, CAST(0 AS BIGINT)) AS num,
+    COALESCE(r.den, CAST(0 AS BIGINT)) AS den
+  FROM base b
+  LEFT JOIN recv r ON b.face = r.face AND b.ti = r.ti AND b.tj = r.tj
+),
+k AS (
+  SELECT *, CASE WHEN den > 0 THEN (2000000 * num + den) // (2 * den)
+                 ELSE CAST(0 AS BIGINT) END AS idw_e6
+  FROM j
+)
+SELECT CAST(face AS BIGINT) AS face, ti, tj, n, num, den, idw_e6,
+  idw_e6 - n * 1000000 AS resid_e6
+FROM k
+"""
+
+
 def o_embed_dedup() -> str:
     return f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
@@ -2972,6 +3069,8 @@ ORACLES = {
     "s2_hotspot": o_hotspot,
     "s2_moran": o_moran,
     "s2_ripley_k": o_ripley_k,
+    "s2_tile_diversity": o_tile_diversity,
+    "s2_idw_smooth": o_idw_smooth,
     "s2_polyline_buffer_join": o_polyline_buffer_join,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,

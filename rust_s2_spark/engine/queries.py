@@ -3720,6 +3720,159 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson user diversity per FOCAL_LEVEL tile: the probability
+    that two random events in the tile come from DIFFERENT users,
+    (n² - Σc_u²)/n² — the curation signal separating organically busy
+    tiles from single-user spam columns (the per-tile analog of the
+    dedup pipeline's source screens).
+
+    A pure rational over integer counts, emitted with the exact integer
+    half-up idiom (no log(), no engine round()) — the class of score the
+    sf1 gate proved safe (ROUND5.md session 6).
+
+    Plan shape: the persisted geo table equi-joins events for user_id
+    (the _traj_window pattern), then TWO nested aggregates — (tile, user)
+    partial-agg Exchange, then a tile-keyed rollup whose input is already
+    one row per (tile, user).  No broadcast of anything unbounded; output
+    is grid-bounded.  The decode to engine-independent grid keys is the
+    standard Arrow stage over <= 6*4^L rows."""
+    lvl = specs.FOCAL_LEVEL
+    ev = _read(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id"
+    )
+    geo = events_geo(spark, sf_dir).select(
+        "event_id", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+    per_u = (
+        geo.join(ev, on="event_id")
+        .groupBy("tile", "user_id")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    per_t = per_u.groupBy("tile").agg(
+        F.sum("cu").alias("n"),
+        F.count(F.lit(1)).alias("u_cnt"),
+        F.sum(F.col("cu") * F.col("cu")).alias("sumsq"),
+    )
+    simpson = F.expr(
+        "(2000000 * (n * n - sumsq) + n * n) div (2 * n * n)"
+    )
+    per_t = per_t.withColumn("simpson_e6", simpson)
+    sh = 30 - lvl
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+            out = pd.DataFrame(
+                {
+                    "face": face.astype(np.int64),
+                    "ti": (i >> sh).astype(np.int64),
+                    "tj": (j >> sh).astype(np.int64),
+                }
+            )
+            for c in ("n", "u_cnt", "sumsq", "simpson_e6"):
+                out[c] = pdf[c].to_numpy(np.int64)
+            yield out
+
+    return per_t.mapInPandas(
+        decode,
+        schema="face long, ti long, tj long, n long, u_cnt long, "
+        "sumsq long, simpson_e6 long",
+    )
+
+
+def q_idw_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted smoothing on the S2 grid: every occupied
+    FOCAL_LEVEL tile's count re-estimated from its rook-BFS ring-1 and
+    ring-2 neighbors (self EXCLUDED, integer weights IDW_W1/IDW_W2) — the
+    raster-algebra "focal mean with a distance kernel", whose residual
+    against the observed count is the density-anomaly signal.  Rings are
+    BFS depth under the 4-direction FACE_WRAP step (cellid.rs:336-347),
+    the same metric s2_cell_disk's kRing uses, so ring-2 is
+    dedup(neighbors(ring-1)) minus {self} ∪ ring-1 BY DEFINITION.
+
+    The estimate num/den is a pure rational over integer counts; the 6-dp
+    emission is the exact half-up integer division, and the residual
+    est - n*1e6 is exact bigint subtraction — nothing floats anywhere.
+
+    Plan shape: everything runs over the shared session-persisted
+    _grid_counts table (grid-bounded, <= 6*4^L rows at ANY corpus size):
+    one Arrow contribution stage (a per-source python loop over the
+    grid-bounded batch — NOT over events), one tiny groupBy, one
+    grid-bounded join.  The unbounded events table is only touched by the
+    memoized _grid_counts build."""
+    from ..kernel import hierarchy
+
+    lvl = specs.FOCAL_LEVEL
+    base = _grid_counts(spark, sf_dir, lvl)
+    w1, w2 = specs.IDW_W1, specs.IDW_W2
+
+    def contrib(batches):
+        # per SOURCE tile: ring1 = its 4 edge neighbors; ring2 =
+        # dedup(edge_neighbors(ring1)) - {self} - ring1.  The loop is over
+        # the grid-bounded tile table, never the corpus.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            n = pdf["n"].to_numpy(np.int64)
+            d1 = np.asarray(
+                hierarchy.edge_neighbors(t.view(np.uint64))
+            ).view(np.int64)
+            d2_raw = np.asarray(
+                hierarchy.edge_neighbors(d1.reshape(-1).view(np.uint64))
+            ).view(np.int64).reshape(len(t), -1)
+            tgts, ws, cs = [], [], []
+            for k in range(len(t)):
+                ring1 = set(d1[k].tolist())
+                ring2 = set(d2_raw[k].tolist()) - ring1 - {int(t[k])}
+                for x in ring1:
+                    tgts.append(x)
+                    ws.append(w1)
+                    cs.append(w1 * int(n[k]))
+                for x in ring2:
+                    tgts.append(x)
+                    ws.append(w2)
+                    cs.append(w2 * int(n[k]))
+            yield pd.DataFrame(
+                {
+                    "target": np.asarray(tgts, dtype=np.int64),
+                    "w": np.asarray(ws, dtype=np.int64),
+                    "c": np.asarray(cs, dtype=np.int64),
+                }
+            )
+
+    recv = (
+        base.select("tile", "n")
+        .mapInPandas(contrib, schema="target long, w long, c long")
+        .groupBy("target")
+        .agg(F.sum("c").alias("num"), F.sum("w").alias("den"))
+    )
+    out = (
+        base.join(recv, base["tile"] == recv["target"], "left")
+        .select(
+            "face",
+            "ti",
+            "tj",
+            "n",
+            F.coalesce(F.col("num"), F.lit(0).cast("long")).alias("num"),
+            F.coalesce(F.col("den"), F.lit(0).cast("long")).alias("den"),
+        )
+        .withColumn(
+            "idw_e6",
+            F.when(
+                F.col("den") > 0,
+                F.expr("(2000000 * num + den) div (2 * den)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn("resid_e6", F.col("idw_e6") - F.col("n") * F.lit(1000000))
+    )
+    return out
+
+
 def _traj_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-user step frame: (user_id, event_id, prev_event, ts,
     prev_ts, px/py/pz, x/y/z) — the lag-window primitive under
@@ -4417,6 +4570,8 @@ QUERIES = {
     "s2_hotspot": q_hotspot,
     "s2_moran": q_moran,
     "s2_ripley_k": q_ripley_k,
+    "s2_tile_diversity": q_tile_diversity,
+    "s2_idw_smooth": q_idw_smooth,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,

@@ -372,6 +372,22 @@ RIPLEY_FRACTIONS = (0.5, 0.75, 1.0)
 BIGRAM_MIN_COUNT = 5
 BIGRAM_K = 100
 
+# s2_tile_diversity: Gini-Simpson user diversity per FOCAL_LEVEL tile —
+# the probability two random events in a tile come from DIFFERENT users,
+# 1 - sum(c_u^2)/n^2 = (n^2 - sum(c_u^2))/n^2: a pure rational (no log()),
+# emitted with the exact integer half-up idiom.  The curation signal that
+# separates organically busy tiles from single-user spam columns.
+
+# s2_idw_smooth: inverse-distance-weighted smoothing on the S2 grid —
+# each occupied tile's count re-estimated from its rook-BFS ring-1/ring-2
+# neighbors (self excluded) with integer weights ring1 -> 2, ring2 -> 1,
+# so the estimate num/den is a pure rational and the 6-dp emission is the
+# exact integer half-up division.  The raster-algebra "focal mean with a
+# distance kernel" analog, and the residual against the observed count is
+# the anomaly signal.
+IDW_W1 = 2
+IDW_W2 = 1
+
 # s2_voronoi_assign hubs: deterministic "facility" points (major-city
 # lat/lngs) whose Voronoi cells partition the sphere.  Exact-double unit
 # vectors via the same _unit_xyz path the caps use; K is intentionally

@@ -226,3 +226,105 @@ def test_doc_bigrams_multispace_tokenization(spark):
     assert got == Counter(
         {("a", "b"): 3, ("b", "a"): 1, ("b", "x"): 1}
     )
+
+
+def _numpy_tile_user(sf_dir: str, lvl: int):
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    users = {r[0]: r[1] for r in rows}
+    lat, lng = specs.latlng_np(ids)
+    tiles = np.asarray(
+        h.parent(hilbert.cellid_from_latlng(lat, lng), lvl), dtype=np.uint64
+    )
+    return ids, users, tiles
+
+
+def test_tile_diversity_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    lvl = specs.FOCAL_LEVEL
+    ids, users, tiles = _numpy_tile_user(SF001, lvl)
+    per: dict = {}
+    for eid, t in zip(ids.tolist(), tiles.tolist()):
+        per.setdefault(t, Counter())[users[eid]] += 1
+    sh = 30 - lvl
+    want = {}
+    for t, cnt in per.items():
+        n = sum(cnt.values())
+        sumsq = sum(c * c for c in cnt.values())
+        simpson = (2000000 * (n * n - sumsq) + n * n) // (2 * n * n)
+        f, i, j, _ = hilbert.cellid_to_face_ij_orientation(np.uint64(t))
+        want[(int(f), int(i) >> sh, int(j) >> sh)] = (
+            n,
+            len(cnt),
+            sumsq,
+            simpson,
+        )
+    rows = QUERIES["s2_tile_diversity"](spark, SF001).collect()
+    got = {
+        (r.face, r.ti, r.tj): (r.n, r.u_cnt, r.sumsq, r.simpson_e6)
+        for r in rows
+    }
+    assert got == want
+    # bounds: 0 <= simpson < 1e6; a single-user tile scores exactly 0
+    assert all(0 <= v[3] < 1_000_000 for v in got.values())
+    assert sum(v[0] for v in got.values()) == len(ids)
+    clear_geo_cache()
+
+
+def test_idw_smooth_matches_numpy(spark):
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    lvl = specs.FOCAL_LEVEL
+    ids = (
+        duckdb.sql(f"SELECT event_id FROM '{SF001}/events.parquet'")
+        .fetchnumpy()["event_id"]
+        .astype(np.int64)
+    )
+    lat, lng = specs.latlng_np(ids)
+    tiles = h.parent(hilbert.cellid_from_latlng(lat, lng), lvl)
+    counts = Counter(np.asarray(tiles, dtype=np.uint64).tolist())
+    occupied = np.array(sorted(counts), dtype=np.uint64)
+    sh = 30 - lvl
+    want = {}
+    for t in occupied.tolist():
+        ring1 = set(
+            np.asarray(h.edge_neighbors(np.array([t], dtype=np.uint64)))
+            .reshape(-1)
+            .tolist()
+        )
+        ring2 = set()
+        for x in ring1:
+            ring2 |= set(
+                np.asarray(h.edge_neighbors(np.array([x], dtype=np.uint64)))
+                .reshape(-1)
+                .tolist()
+            )
+        ring2 -= ring1 | {t}
+        num = sum(
+            specs.IDW_W1 * counts[x] for x in ring1 if x in counts
+        ) + sum(specs.IDW_W2 * counts[x] for x in ring2 if x in counts)
+        den = sum(specs.IDW_W1 for x in ring1 if x in counts) + sum(
+            specs.IDW_W2 for x in ring2 if x in counts
+        )
+        idw = (2000000 * num + den) // (2 * den) if den > 0 else 0
+        f, i, j, _ = hilbert.cellid_to_face_ij_orientation(np.uint64(t))
+        want[(int(f), int(i) >> sh, int(j) >> sh)] = (
+            counts[t],
+            num,
+            den,
+            idw,
+            idw - counts[t] * 1000000,
+        )
+    rows = QUERIES["s2_idw_smooth"](spark, SF001).collect()
+    got = {
+        (r.face, r.ti, r.tj): (r.n, r.num, r.den, r.idw_e6, r.resid_e6)
+        for r in rows
+    }
+    assert got == want
+    # smoothing must actually mix: residuals of both signs exist
+    assert any(v[4] > 0 for v in got.values())
+    assert any(v[4] < 0 for v in got.values())
+    clear_geo_cache()
