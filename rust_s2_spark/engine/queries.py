@@ -2501,9 +2501,9 @@ def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Seeds are deterministic: per face, max count, ties broken by (ti, tj)
     ascending — grid coordinates, so the oracle replays the ordering without
-    a Hilbert encode.  BFS is DISK_K chained map stages over grid-bounded
-    frames (each ≤ 6·4^DISK_K rows at ANY corpus size): the unbounded events
-    table is touched exactly once, by the counts groupBy
+    a Hilbert encode.  BFS runs seed-local inside ONE Arrow stage over
+    grid-bounded frames (≤ 6·4^DISK_K rows at ANY corpus size): the
+    unbounded events table is touched exactly once, by the counts groupBy
     (cellid.rs:336-347 edge_neighbors supplies the step)."""
     lvl = specs.DISK_LEVEL
     sh = 30 - lvl
@@ -2518,53 +2518,61 @@ def q_cell_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("face").alias("seed_face"), "tile")
     )
 
-    def expand(batches):
+    # The whole DISK_K BFS is seed-local (no cross-seed state), so it runs
+    # inside ONE Arrow stage — frontier expansion via the vectorized
+    # edge_neighbors kernel, ring = first-visit depth (BFS min distance by
+    # construction, identical to the min-over-all-paths the previous
+    # chained-stage formulation aggregated).  Collapses DISK_K map stages,
+    # a union, a min(ring) Exchange, and a decode stage into one
+    # grid-bounded stage — the disk is <= 6*4^DISK_K rows at ANY corpus
+    # size, so per-seed python iteration costs microseconds.
+    def expand_bfs(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            t = pdf["tile"].to_numpy(np.int64)
-            sfc = pdf["seed_face"].to_numpy(np.int64)
-            nbrs = np.asarray(h.edge_neighbors(t.view(np.uint64))).view(np.int64)
-            yield pd.DataFrame(
-                {
-                    "seed_face": np.repeat(sfc, 4),
-                    "tile": nbrs.reshape(-1),
-                }
-            )
+            for sfc, t0 in zip(
+                pdf["seed_face"].tolist(), pdf["tile"].tolist()
+            ):
+                seen = {t0: 0}
+                frontier = [t0]
+                for r in range(1, specs.DISK_K + 1):
+                    arr = np.asarray(frontier, dtype=np.int64)
+                    nb = (
+                        np.asarray(h.edge_neighbors(arr.view(np.uint64)))
+                        .view(np.int64)
+                        .reshape(-1)
+                    )
+                    frontier = []
+                    for x in nb.tolist():
+                        if x not in seen:
+                            seen[x] = r
+                            frontier.append(x)
+                tiles = np.fromiter(seen.keys(), np.int64, len(seen))
+                rings = np.fromiter(seen.values(), np.int64, len(seen))
+                face, i, j, _ = h.cellid_to_face_ij_orientation(
+                    tiles.view(np.uint64)
+                )
+                yield pd.DataFrame(
+                    {
+                        "seed_face": np.full(len(seen), sfc, dtype=np.int64),
+                        "face": face.astype(np.int64),
+                        "ti": (i >> sh).astype(np.int64),
+                        "tj": (j >> sh).astype(np.int64),
+                        "ring": rings,
+                        "tile": tiles,
+                    }
+                )
 
-    # No per-ring distinct: every rook path of length r <= DISK_K is
-    # enumerated (4^DISK_K rows per seed at most — grid-bounded, never
-    # data-bounded), and the single min(ring) groupBy below collapses them
-    # to the true BFS distance.  Three shuffles saved per invocation.
-    cur = seeds
-    disk = seeds.withColumn("ring", F.lit(0).cast("long"))
-    for r in range(1, specs.DISK_K + 1):
-        cur = cur.mapInPandas(expand, schema="seed_face long, tile long")
-        disk = disk.unionByName(cur.withColumn("ring", F.lit(r).cast("long")))
-    disk = disk.groupBy("seed_face", "tile").agg(F.min("ring").alias("ring"))
-
-    def decode_out(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            t = pdf["tile"].to_numpy(np.int64)
-            face, i, j, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
-            yield pd.DataFrame(
-                {
-                    "seed_face": pdf["seed_face"].to_numpy(np.int64),
-                    "face": face.astype(np.int64),
-                    "ti": (i >> sh).astype(np.int64),
-                    "tj": (j >> sh).astype(np.int64),
-                    "ring": pdf["ring"].to_numpy(np.int64),
-                    "tile": t,
-                }
-            )
-
-    decoded = disk.mapInPandas(
-        decode_out,
+    decoded = seeds.mapInPandas(
+        expand_bfs,
         schema="seed_face long, face long, ti long, tj long, ring long, tile long",
     )
-    return decoded.join(counts.select("tile", "n"), on="tile", how="left").select(
+    # counts is grid-bounded (<= 6*4^DISK_LEVEL rows at ANY corpus size),
+    # so broadcasting it is scale-safe and saves shuffling both sides of
+    # the occupancy join
+    return decoded.join(
+        F.broadcast(counts.select("tile", "n")), on="tile", how="left"
+    ).select(
         "seed_face",
         "face",
         "ti",
