@@ -1782,6 +1782,92 @@ WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0
 """
 
 
+def o_crossing_points() -> str:
+    """get_intersection replay: the o_line_crossings frame and predicate
+    verbatim, then the (ab x cd) cross product, midpoint-chord sign
+    orientation, normalization, and atan2 lat/lng — every op mirrored in
+    the Spark order, 6-dp rounded (the s2_waypoints precedent for
+    trig-derived coordinates)."""
+    rows = []
+    for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
+        cd = (
+            c[1] * d[2] - c[2] * d[1],
+            c[2] * d[0] - c[0] * d[2],
+            c[0] * d[1] - c[1] * d[0],
+        )
+        rows.append(
+            f"({i}, {specs.f(c[0])}, {specs.f(c[1])}, {specs.f(c[2])}, "
+            f"{specs.f(d[0])}, {specs.f(d[1])}, {specs.f(d[2])}, "
+            f"{specs.f(cd[0])}, {specs.f(cd[1])}, {specs.f(cd[2])})"
+        )
+    vals = ", ".join(rows)
+    xyz = (
+        "SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.x, p.y, p.z
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, event_id,
+    lag(event_id) OVER w AS prev_event,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+segs(seg_id, cx, cy, cz, dx, dy, dz, cdx, cdy, cdz) AS (VALUES {vals}),
+e AS (
+  SELECT st.*, s.*,
+    (py * z - pz * y) AS abx,
+    (pz * x - px * z) AS aby,
+    (px * y - py * x) AS abz
+  FROM st CROSS JOIN segs s
+  WHERE st.prev_event IS NOT NULL
+),
+t AS (
+  SELECT user_id, event_id, prev_event, seg_id,
+    px, py, pz, x, y, z, abx, aby, abz, cdx, cdy, cdz,
+    -(abx * cx + aby * cy + abz * cz) AS acb,
+    (abx * dx + aby * dy + abz * dz) AS bda,
+    -(cdx * x + cdy * y + cdz * z) AS cbd,
+    (cdx * px + cdy * py + cdz * pz) AS dac
+  FROM e
+),
+c AS (
+  SELECT *,
+    (aby * cdz - abz * cdy) AS rx,
+    (abz * cdx - abx * cdz) AS ry,
+    (abx * cdy - aby * cdx) AS rz
+  FROM t
+  WHERE acb * bda > 0 AND acb * cbd > 0 AND acb * dac > 0
+),
+u AS (
+  SELECT *,
+    (rx * (px + x) + ry * (py + y) + rz * (pz + z)) AS sdot,
+    sqrt(rx * rx + ry * ry + rz * rz) AS nrm
+  FROM c
+),
+v AS (
+  SELECT *, CASE WHEN sdot < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM u
+),
+w2 AS (
+  SELECT *, (sgn * rx) / nrm AS ux, (sgn * ry) / nrm AS uy,
+    (sgn * rz) / nrm AS uz
+  FROM v
+)
+SELECT user_id, event_id, prev_event, CAST(seg_id AS BIGINT) AS seg_id,
+  CAST(CASE WHEN dac > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction,
+  round(degrees(atan2(uz, sqrt(ux * ux + uy * uy))), 6) AS cross_lat_r,
+  round(degrees(atan2(uy, ux)), 6) AS cross_lng_r
+FROM w2
+"""
+
+
 def o_traj_jaccard() -> str:
     """Tile-set overlap replay: recursive Hilbert encode -> level ancestor,
     DISTINCT (user, tile), the same > TRAJ_TILE_CAP stop-tile drop, then a
@@ -3065,6 +3151,7 @@ ORACLES = {
     "s2_traj_simplify": o_traj_simplify,
     "s2_traj_jaccard": o_traj_jaccard,
     "s2_line_crossings": o_line_crossings,
+    "s2_crossing_points": o_crossing_points,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_moran": o_moran,

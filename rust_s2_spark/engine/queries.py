@@ -4207,10 +4207,36 @@ def q_line_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_crossing_frame(_traj_window(spark, sf_dir))
 
 
-def line_crossing_frame(st: DataFrame) -> DataFrame:
+def q_crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence crossings WITH the intersection coordinates: for every
+    properly-crossing (step, segment) pair, the point where the two great
+    circles meet — rust-s2's edgeutil get_intersection
+    (edgeutil.rs:228-269) exported as a relational operator ("WHERE did
+    the user cross the border, not just whether").
+
+    The point is (a x b) x (c x d) normalized, sign-oriented toward the
+    step's midpoint chord (a+b) — for a proper crossing the intersection
+    lies strictly inside both arcs, so the orientation dot product is
+    bounded away from zero.  ab is trig-derived (1-4 ulp engine noise),
+    cd is an exact inlined literal; the whole chain is mirrored op-for-op
+    and the 6-dp rounded lat/lng absorbs the ~1e-15 tail exactly like
+    s2_waypoints' interpolated coordinates.  atan2-based latitude so
+    ulp-scale |z| > 1 can never NaN.
+
+    Plan shape: identical to s2_line_crossings — the shared ONE-Exchange
+    trajectory window, a broadcast-sized segment explode, everything in
+    whole-stage codegen; the point math adds a handful of codegen-resident
+    multiplications on the (sparse) crossing rows only."""
+    return line_crossing_frame(_traj_window(spark, sf_dir), points=True)
+
+
+def line_crossing_frame(st: DataFrame, points: bool = False) -> DataFrame:
     """Crossing detection over any step frame carrying (user_id, event_id,
     prev_event, px, py, pz, x, y, z) — shared by the batch query and the
-    streaming pipeline so both run the IDENTICAL codegen predicate."""
+    streaming pipeline so both run the IDENTICAL codegen predicate.
+
+    ``points=True`` additionally emits the great-circle intersection
+    coordinates (the get_intersection analog) for each crossing."""
     segs = []
     for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
         cd = (
@@ -4252,17 +4278,37 @@ def line_crossing_frame(st: DataFrame) -> DataFrame:
         + F.col("s.cdz") * F.col("pz")
     )
     crossed = (acb * bda > 0) & (acb * cbd > 0) & (acb * dac > 0)
-    return (
-        e.withColumn("dac", dac)
-        .where(crossed)
-        .select(
-            "user_id",
-            "event_id",
-            "prev_event",
-            "seg_id",
-            F.when(F.col("dac") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+    cols = [
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("prev_event"),
+        F.col("seg_id"),
+        F.when(F.col("dac") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+    ]
+    if points:
+        # intersection = (ab x cd), sign-oriented toward the arc midpoint
+        # chord (a+b), normalized — edgeutil.rs get_intersection semantics
+        # for a proper crossing.  Op order mirrored by the oracle.
+        rx = aby * F.col("s.cdz") - abz * F.col("s.cdy")
+        ry = abz * F.col("s.cdx") - abx * F.col("s.cdz")
+        rz = abx * F.col("s.cdy") - aby * F.col("s.cdx")
+        sdot = (
+            rx * (F.col("px") + F.col("x"))
+            + ry * (F.col("py") + F.col("y"))
+            + rz * (F.col("pz") + F.col("z"))
         )
-    )
+        nrm = F.sqrt(rx * rx + ry * ry + rz * rz)
+        sgn = F.when(sdot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        ux = sgn * rx / nrm
+        uy = sgn * ry / nrm
+        uz = sgn * rz / nrm
+        lat = F.degrees(F.atan2(uz, F.sqrt(ux * ux + uy * uy)))
+        lng = F.degrees(F.atan2(uy, ux))
+        cols += [
+            F.round(lat, 6).alias("cross_lat_r"),
+            F.round(lng, 6).alias("cross_lng_r"),
+        ]
+    return e.withColumn("dac", dac).where(crossed).select(*cols)
 
 
 def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4633,6 +4679,7 @@ QUERIES = {
     "s2_traj_simplify": q_traj_simplify,
     "s2_traj_jaccard": q_traj_jaccard,
     "s2_line_crossings": q_line_crossings,
+    "s2_crossing_points": q_crossing_points,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_moran": q_moran,

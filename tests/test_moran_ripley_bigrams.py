@@ -328,3 +328,101 @@ def test_idw_smooth_matches_numpy(spark):
     assert any(v[4] > 0 for v in got.values())
     assert any(v[4] < 0 for v in got.values())
     clear_geo_cache()
+
+
+def test_crossing_points_matches_python(spark):
+    """Python replay of the crossing predicate + get_intersection chain
+    (same IEEE ops in the same order => bit-identical doubles), vs the
+    Spark codegen output at sf0.001."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, ts FROM '{SF001}/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    lat, lng = specs.latlng_np(ids)
+    la, ln = np.radians(lat), np.radians(lng)
+    xyz = {
+        r[0]: (
+            math.cos(la[i]) * math.cos(ln[i]),
+            math.cos(la[i]) * math.sin(ln[i]),
+            math.sin(la[i]),
+        )
+        for i, r in enumerate(rows)
+    }
+    segs = []
+    for i, (c, d) in enumerate(specs.polyline_segments_xyz()):
+        cd = (
+            c[1] * d[2] - c[2] * d[1],
+            c[2] * d[0] - c[0] * d[2],
+            c[0] * d[1] - c[1] * d[0],
+        )
+        segs.append((i, c, d, cd))
+    want = {}
+    prev_by_user: dict = {}
+    for eid, uid, _ts in rows:
+        if uid in prev_by_user:
+            pid = prev_by_user[uid]
+            px, py, pz = xyz[pid]
+            x, y, z = xyz[eid]
+            abx, aby, abz = (
+                py * z - pz * y,
+                pz * x - px * z,
+                px * y - py * x,
+            )
+            for sid, c, d, cd in segs:
+                acb = -(abx * c[0] + aby * c[1] + abz * c[2])
+                bda = abx * d[0] + aby * d[1] + abz * d[2]
+                cbd = -(cd[0] * x + cd[1] * y + cd[2] * z)
+                dac = cd[0] * px + cd[1] * py + cd[2] * pz
+                if acb * bda > 0 and acb * cbd > 0 and acb * dac > 0:
+                    rx = aby * cd[2] - abz * cd[1]
+                    ry = abz * cd[0] - abx * cd[2]
+                    rz = abx * cd[1] - aby * cd[0]
+                    sdot = rx * (px + x) + ry * (py + y) + rz * (pz + z)
+                    nrm = math.sqrt(rx * rx + ry * ry + rz * rz)
+                    sgn = -1.0 if sdot < 0 else 1.0
+                    ux, uy, uz = (
+                        (sgn * rx) / nrm,
+                        (sgn * ry) / nrm,
+                        (sgn * rz) / nrm,
+                    )
+                    clat = math.degrees(
+                        math.atan2(uz, math.sqrt(ux * ux + uy * uy))
+                    )
+                    clng = math.degrees(math.atan2(uy, ux))
+                    want[(uid, eid, pid, sid)] = (
+                        1 if dac > 0 else -1,
+                        round(clat, 6),
+                        round(clng, 6),
+                    )
+        prev_by_user[uid] = eid
+    got = {
+        (r.user_id, r.event_id, r.prev_event, r.seg_id): (
+            r.direction,
+            r.cross_lat_r,
+            r.cross_lng_r,
+        )
+        for r in QUERIES["s2_crossing_points"](spark, SF001).collect()
+    }
+    assert set(got) == set(want)
+    for k, (dirn, clat, clng) in want.items():
+        gd, glat, glng = got[k]
+        assert gd == dirn
+        # python round is banker's at exact halves vs Spark HALF_UP; trig
+        # irrationals never land there, so equality is exact in practice
+        assert abs(glat - clat) < 5e-7 and abs(glng - clng) < 5e-7
+    assert len(got) > 10
+    # every crossing point must lie ON the crossed segment's great circle:
+    # |cd . u| ~ 0 within ulps
+    for (uid, eid, pid, sid), (_d, clat, clng) in want.items():
+        _i, c, d, cd = segs[sid]
+        la2, ln2 = math.radians(clat), math.radians(clng)
+        u = (
+            math.cos(la2) * math.cos(ln2),
+            math.cos(la2) * math.sin(ln2),
+            math.sin(la2),
+        )
+        assert abs(cd[0] * u[0] + cd[1] * u[1] + cd[2] * u[2]) < 1e-6
+    clear_geo_cache()

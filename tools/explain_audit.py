@@ -73,6 +73,12 @@ AUDIT = [
     "events_cube",
     "ann_lsh",
     "simhash_banded",
+    "s2_moran",
+    "s2_ripley_k",
+    "s2_crossing_points",
+    "s2_tile_diversity",
+    "s2_idw_smooth",
+    "doc_bigrams",
 ]
 
 # Intentional BNL joins, with the reason printed into the audit.  Any other
@@ -95,6 +101,18 @@ INTENTIONAL_BNL = {
     "doc_keyterms": (
         "BNL is the broadcast of the SINGLE-ROW n_docs aggregate onto the "
         "tf table — 1 row at any input scale"
+    ),
+    "s2_moran": (
+        "BNL is the broadcast of the SINGLE-ROW global-moments aggregate "
+        "onto the grid-bounded tile table — 1 row at any input scale"
+    ),
+    "s2_ripley_k": (
+        "BNL is the broadcast of the SINGLE-ROW point-count aggregate onto "
+        "the single-row pair-bucket aggregate — 1x1 rows at any input scale"
+    ),
+    "doc_bigrams": (
+        "BNL is the broadcast of the SINGLE-ROW token-total aggregate onto "
+        "the vocab-bounded lift table — 1 row at any input scale"
     ),
 }
 
