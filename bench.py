@@ -79,6 +79,7 @@ HEADLINE = [
     "s2_ripley_k",
     "s2_tile_diversity",
     "s2_idw_smooth",
+    "s2_decay_density",
     "s2_region_area_stats",
     "s2_covering_set_ops",
     "dedup_exact",

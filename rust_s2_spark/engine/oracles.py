@@ -2089,6 +2089,38 @@ FROM u
 """
 
 
+def o_decay_density() -> str:
+    """Time-decay density replay: the non-recursive encode prefix gives
+    tiles, ages are exact integer microseconds from max(ts) (epoch_us,
+    the tile_churn idiom), weights are exact bigint shifts
+    1 << (BMAX - least(age // HL, BMAX)), and the emission is the exact
+    half-up integer division — no floating point on either engine."""
+    lvl = specs.FOCAL_LEVEL
+    shift = 30 - lvl
+    hl = specs.DECAY_HALF_LIFE_US
+    bmax = specs.DECAY_BMAX
+    scale = 1 << bmax
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_fij_ctes("event_id").strip()},
+b AS (SELECT max(ts) AS ts_hi FROM events),
+w AS (
+  SELECT ij.face, ij.i >> {shift} AS ti, ij.j >> {shift} AS tj,
+    CAST(1 AS BIGINT) << CAST({bmax} - least(
+      (epoch_us(b.ts_hi) - epoch_us(e.ts)) // {hl}, {bmax}) AS INT) AS wt
+  FROM ij JOIN events e ON e.event_id = ij.event_id CROSS JOIN b
+),
+agg AS (
+  SELECT face, ti, tj, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(wt) AS BIGINT) AS num
+  FROM w GROUP BY 1, 2, 3
+)
+SELECT CAST(face AS BIGINT) AS face, ti, tj, n, num,
+  (2000000 * num + {scale}) // (2 * {scale}) AS decayed_e6
+FROM agg
+"""
+
+
 def o_tile_diversity() -> str:
     """Gini-Simpson replay: leaf (face,i,j) via the encode prefix, joined
     to events for user_id, then the same two nested aggregates and the
@@ -3158,6 +3190,7 @@ ORACLES = {
     "s2_ripley_k": o_ripley_k,
     "s2_tile_diversity": o_tile_diversity,
     "s2_idw_smooth": o_idw_smooth,
+    "s2_decay_density": o_decay_density,
     "s2_polyline_buffer_join": o_polyline_buffer_join,
     "dedup_exact": o_dedup_exact,
     "text_stats": o_text_stats,

@@ -3787,6 +3787,76 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decay_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay density per FOCAL_LEVEL tile — "how busy is
+    this tile NOW", the freshness-weighted twin of s2_focal_density that
+    recency-sensitive training mixes and hotspot alerting consume (old
+    mass fades with a 2-day half-life instead of counting forever).
+
+    Exactness: exponential decay with ZERO floating point.  Ages are
+    exact integer microseconds from the corpus max-ts (the tile_churn
+    idiom); the per-event weight is the exact bigint
+    2^(BMAX - min(age div HALF_LIFE, BMAX)) via a shift, the decayed mass
+    is an integer sum, and decayed = num / 2^BMAX emits through the exact
+    half-up integer division.  Engine-independent by construction.
+
+    Plan shape: ONE pass over events (scan -> pure-Column encode ->
+    parent tile), a broadcast of the 1-row max-ts aggregate, ONE
+    grid-bounded groupBy, then the standard Arrow decode of <= 6*4^L
+    rows.  The unbounded table is never shuffled at full width."""
+    lvl = specs.FOCAL_LEVEL
+    ev = _read(spark, sf_dir, "events", spread=False).select("event_id", "ts")
+    lat_sql, lng_sql = specs.latlng_sql("event_id")
+    pts = ev.select(
+        "event_id",
+        "ts",
+        F.expr(lat_sql).alias("lat"),
+        F.expr(lng_sql).alias("lng"),
+    )
+    tiled = tiling.with_leaf_cellid(pts).select(
+        "ts", tiling.parent_col("cell_id", lvl).alias("tile")
+    )
+    b = ev.agg(F.max("ts").alias("ts_hi"))
+    j = tiled.crossJoin(F.broadcast(b))
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({specs.DECAY_BMAX} - "
+        f"least(timestampdiff(MICROSECOND, ts, ts_hi) div "
+        f"{specs.DECAY_HALF_LIFE_US}, {specs.DECAY_BMAX}) AS INT))"
+    )
+    agg = j.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(weight).alias("num"),
+    )
+    scale = 1 << specs.DECAY_BMAX
+    agg = agg.withColumn(
+        "decayed_e6",
+        F.expr(f"(2000000 * num + {scale}) div (2 * {scale})"),
+    )
+    sh = 30 - lvl
+
+    def decode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tile"].to_numpy(np.int64)
+            face, i, j2, _ = h.cellid_to_face_ij_orientation(t.view(np.uint64))
+            out = pd.DataFrame(
+                {
+                    "face": face.astype(np.int64),
+                    "ti": (i >> sh).astype(np.int64),
+                    "tj": (j2 >> sh).astype(np.int64),
+                }
+            )
+            for c in ("n", "num", "decayed_e6"):
+                out[c] = pdf[c].to_numpy(np.int64)
+            yield out
+
+    return agg.mapInPandas(
+        decode,
+        schema="face long, ti long, tj long, n long, num long, decayed_e6 long",
+    )
+
+
 def q_tile_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson user diversity per FOCAL_LEVEL tile: the probability
     that two random events in the tile come from DIFFERENT users,
@@ -4686,6 +4756,7 @@ QUERIES = {
     "s2_ripley_k": q_ripley_k,
     "s2_tile_diversity": q_tile_diversity,
     "s2_idw_smooth": q_idw_smooth,
+    "s2_decay_density": q_decay_density,
     "s2_polyline_buffer_join": q_polyline_buffer_join,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,

@@ -388,6 +388,16 @@ BIGRAM_K = 100
 IDW_W1 = 2
 IDW_W2 = 1
 
+# s2_decay_density: exponential time-decay density per FOCAL_LEVEL tile.
+# Age buckets of HALF_LIFE microseconds (2 days — the 30-day corpus spans
+# ~15 buckets, so the decay curve is non-trivial at every gate SF); the
+# weight is the EXACT bigint 2^(BMAX - min(bucket, BMAX)), so the decayed
+# mass num = sum(weights) is exact and decayed = num / 2^BMAX emits via
+# the integer half-up idiom — exponential decay with zero floating point.
+# BMAX = 20 keeps 2e6 * num inside int64 at sf1 (num <= n_events * 2^20).
+DECAY_HALF_LIFE_US = 2 * 24 * 3600 * 1_000_000
+DECAY_BMAX = 20
+
 # s2_voronoi_assign hubs: deterministic "facility" points (major-city
 # lat/lngs) whose Voronoi cells partition the sphere.  Exact-double unit
 # vectors via the same _unit_xyz path the caps use; K is intentionally

@@ -426,3 +426,49 @@ def test_crossing_points_matches_python(spark):
         )
         assert abs(cd[0] * u[0] + cd[1] * u[1] + cd[2] * u[2]) < 1e-6
     clear_geo_cache()
+
+
+def test_decay_density_matches_python(spark):
+    """Python replay of the exact power-of-2 decay weights (integer
+    microsecond ages, shift weights, half-up emission)."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    lvl = specs.FOCAL_LEVEL
+    rows = duckdb.sql(
+        f"SELECT event_id, epoch_us(ts) FROM '{SF001}/events.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    us = {r[0]: r[1] for r in rows}
+    hi = max(us.values())
+    lat, lng = specs.latlng_np(ids)
+    tiles = np.asarray(
+        h.parent(hilbert.cellid_from_latlng(lat, lng), lvl), dtype=np.uint64
+    )
+    agg: dict = {}
+    for eid, t in zip(ids.tolist(), tiles.tolist()):
+        b = min((hi - us[eid]) // specs.DECAY_HALF_LIFE_US, specs.DECAY_BMAX)
+        w = 1 << (specs.DECAY_BMAX - b)
+        n, num = agg.get(t, (0, 0))
+        agg[t] = (n + 1, num + w)
+    scale = 1 << specs.DECAY_BMAX
+    sh = 30 - lvl
+    want = {}
+    for t, (n, num) in agg.items():
+        f, i, j, _ = hilbert.cellid_to_face_ij_orientation(np.uint64(t))
+        want[(int(f), int(i) >> sh, int(j) >> sh)] = (
+            n,
+            num,
+            (2000000 * num + scale) // (2 * scale),
+        )
+    got = {
+        (r.face, r.ti, r.tj): (r.n, r.num, r.decayed_e6)
+        for r in QUERIES["s2_decay_density"](spark, SF001).collect()
+    }
+    assert got == want
+    # decay must actually decay: no tile exceeds its undecayed bound
+    # (a tile whose only event sits at max-ts attains it exactly), and
+    # MOST tiles sit strictly below it
+    assert all(num <= n * scale for n, num, _ in got.values())
+    assert sum(1 for n, num, _ in got.values() if num < n * scale) > len(got) // 2
+    assert len({num for _, num, _ in got.values()}) > 10
+    clear_geo_cache()

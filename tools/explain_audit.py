@@ -78,6 +78,7 @@ AUDIT = [
     "s2_crossing_points",
     "s2_tile_diversity",
     "s2_idw_smooth",
+    "s2_decay_density",
     "doc_bigrams",
 ]
 
@@ -92,6 +93,10 @@ INTENTIONAL_BNL = {
     ),
     "s2_tile_churn": (
         "BNL is the broadcast of the SINGLE-ROW min/max-ts aggregate onto "
+        "the scan — 1 row at any input scale"
+    ),
+    "s2_decay_density": (
+        "BNL is the broadcast of the SINGLE-ROW max-ts aggregate onto "
         "the scan — 1 row at any input scale"
     ),
     "s2_hotspot": (
