@@ -328,11 +328,23 @@ def main():
         }
     if full_path:
         compact["full_record"] = os.path.basename(full_path)
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+    # Belt-and-braces: never exceed the driver's ~2000-char tail capture.
+    # Shed the LEAST valuable fields first — the per-query warm medians are
+    # the artifact the driver exists to record, so they go last (68-query
+    # suite measures ~1.9 kB with everything on; the first two steps buy
+    # ~200 bytes of headroom).
+    def _line() -> str:
+        return json.dumps(compact, separators=(",", ":"))
+
+    if len(_line()) > 1900:
+        compact.pop("stream_rows_per_sec", None)  # in the full record
+    if len(_line()) > 1900:
+        compact["sf"] = os.path.basename(sf_dir.rstrip("/"))
+    if len(_line()) > 1900:
+        compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
+    if len(_line()) > 1900:
         compact.pop("queries", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_line())
 
 
 if __name__ == "__main__":
