@@ -70,6 +70,7 @@ HEADLINE = [
     "s2_traj_simplify",
     "s2_traj_jaccard",
     "s2_line_crossings",
+    "s2_self_intersect",
     "s2_crossing_points",
     "doc_keyterms",
     "doc_bigrams",

@@ -1868,6 +1868,103 @@ FROM w2
 """
 
 
+def o_self_intersect() -> str:
+    """Self-crossing replay: the o_line_crossings step frame plus a
+    row_number sequence, then the DIRECT gap join (2 <= sb - sa <= W) —
+    semantically equal to the engine's banded (user_id, seq div W)
+    candidate join, which is complete for gap <= W — and the three
+    banded sign tests (> SELF_INTERSECT_EPS, identical literal: exact
+    touches from the sf1 LCG lattice are true zeros computed as ~1e-17
+    noise, excluded deterministically) plus the get_intersection chain
+    with every product mirrored in the Spark op order.  Measured genuine
+    margins: 8.2e-07 / 1.8e-10 / 1.4e-09 / 4.9e-12 at sf0.001/0.01/0.1/1
+    vs the 1e-13 band and ~1e-15 product noise."""
+    w_ = specs.SELF_INTERSECT_W
+    xyz = (
+        "SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x, "
+        "cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z FROM pts"
+    )
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+p AS ({xyz}),
+g AS (
+  SELECT e.user_id, e.ts, p.event_id, p.x, p.y, p.z
+  FROM events e JOIN p ON e.event_id = p.event_id
+),
+st AS (
+  SELECT user_id, ts, event_id,
+    lag(event_id) OVER w AS prev_event,
+    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(z) OVER w AS pz,
+    x, y, z
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sf AS (SELECT * FROM st WHERE prev_event IS NOT NULL),
+sq AS (
+  -- row_number over the FILTERED step frame (windows evaluate before
+  -- WHERE in the same block, so the filter must live one block below)
+  SELECT user_id, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
+    px, py, pz, x, y, z
+  FROM sf
+),
+pr AS (
+  SELECT a.user_id,
+    a.event_id AS event_a, b.event_id AS event_b,
+    CAST(b.seq - a.seq AS BIGINT) AS gap,
+    a.px AS pax, a.py AS pay, a.pz AS paz,
+    a.x AS ax, a.y AS ay, a.z AS az,
+    (a.py * a.z - a.pz * a.y) AS abx,
+    (a.pz * a.x - a.px * a.z) AS aby,
+    (a.px * a.y - a.py * a.x) AS abz,
+    (b.py * b.z - b.pz * b.y) AS cdx,
+    (b.pz * b.x - b.px * b.z) AS cdy,
+    (b.px * b.y - b.py * b.x) AS cdz,
+    b.px AS pbx, b.py AS pby, b.pz AS pbz,
+    b.x AS bx, b.y AS by, b.z AS bz
+  FROM sq a JOIN sq b
+    ON a.user_id = b.user_id AND b.seq - a.seq BETWEEN 2 AND {w_}
+),
+t AS (
+  SELECT user_id, event_a, event_b, gap,
+    pax, pay, paz, ax, ay, az, abx, aby, abz, cdx, cdy, cdz,
+    -(abx * pbx + aby * pby + abz * pbz) AS acb,
+    (abx * bx + aby * by + abz * bz) AS bda,
+    -(cdx * ax + cdy * ay + cdz * az) AS cbd,
+    (cdx * pax + cdy * pay + cdz * paz) AS dac
+  FROM pr
+),
+c AS (
+  SELECT user_id, event_a, event_b, gap, pax, pay, paz, ax, ay, az,
+    (aby * cdz - abz * cdy) AS rx,
+    (abz * cdx - abx * cdz) AS ry,
+    (abx * cdy - aby * cdx) AS rz
+  FROM t
+  WHERE acb * bda > {specs.f(specs.SELF_INTERSECT_EPS)}
+    AND acb * cbd > {specs.f(specs.SELF_INTERSECT_EPS)}
+    AND acb * dac > {specs.f(specs.SELF_INTERSECT_EPS)}
+),
+u AS (
+  SELECT *,
+    (rx * (pax + ax) + ry * (pay + ay) + rz * (paz + az)) AS sdot,
+    sqrt(rx * rx + ry * ry + rz * rz) AS nrm
+  FROM c
+),
+v AS (
+  SELECT *, CASE WHEN sdot < 0 THEN -1.0 ELSE 1.0 END AS sgn FROM u
+),
+w2 AS (
+  SELECT *, (sgn * rx) / nrm AS ux, (sgn * ry) / nrm AS uy,
+    (sgn * rz) / nrm AS uz
+  FROM v
+)
+SELECT user_id, event_a, event_b, gap,
+  round(degrees(atan2(uz, sqrt(ux * ux + uy * uy))), 6) AS cross_lat_r,
+  round(degrees(atan2(uy, ux)), 6) AS cross_lng_r
+FROM w2
+"""
+
+
 def o_traj_jaccard() -> str:
     """Tile-set overlap replay: recursive Hilbert encode -> level ancestor,
     DISTINCT (user, tile), the same > TRAJ_TILE_CAP stop-tile drop, then a
@@ -3184,6 +3281,7 @@ ORACLES = {
     "s2_traj_jaccard": o_traj_jaccard,
     "s2_line_crossings": o_line_crossings,
     "s2_crossing_points": o_crossing_points,
+    "s2_self_intersect": o_self_intersect,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_moran": o_moran,

@@ -4381,6 +4381,186 @@ def line_crossing_frame(st: DataFrame, points: bool = False) -> DataFrame:
     return e.withColumn("dac", dac).where(crossed).select(*cols)
 
 
+def q_self_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory self-intersection detection: every pair of non-adjacent
+    steps of the SAME user whose great-circle segments properly cross,
+    with the crossing coordinates — the EdgeCrosser predicate
+    (edgeutil.rs:96-113 simple_crossing) plus get_intersection
+    (edgeutil.rs:228-269) turned inward ("where does the user's own track
+    loop over itself" — the GPS loop/backtrack signal trajectory cleaning
+    and map-matching pipelines key on).
+
+    Candidate generation is a banded self-join (specs.SELF_INTERSECT_W):
+    step i joins step j only when 2 <= sj - si <= W, and the band key
+    (user_id, seq div W) with the left side exploded into {blk, blk+1} is
+    COMPLETE for that gap range (floor(sj/W) - floor(si/W) in {0, 1}), so
+    the band is pure shuffle-shaping — the oracle replays the
+    semantically-equal direct gap join.  Work is O(n*W) pairs at any
+    scale; no all-pairs anywhere.
+
+    Exactness: the three sign tests run on products of IEEE *,+,- terms
+    mirrored op-for-op by the oracle, and — unlike s2_line_crossings,
+    where one side is an exact literal — BOTH segments are trig-derived,
+    so exact-touch degeneracies exist in the data: the sf1 replication's
+    LCG lattice yields exactly collinear step triples whose products are
+    true zeros computed as ~1e-17 noise, engine-unstable under > 0.  A
+    proper crossing therefore must clear specs.SELF_INTERSECT_EPS
+    (1e-13) on all three products — the relational twin of
+    simple_crossing returning "uncertain" on degenerate input.  Measured
+    populations across every candidate pair: exact-touch |product|
+    <= 4.8e-17 (4 pairs, sf1 only); minimum genuine |product| 8.2e-07 /
+    1.8e-10 / 1.4e-09 / 4.9e-12 at sf0.001/0.01/0.1/1 — the band sits
+    ~2 orders from both sides, and ~1e-15 product noise cannot carry a
+    value across it, so membership is engine-exact.  The crossing point
+    is the (ab x cd) chain of s2_crossing_points verbatim (6-dp rounded;
+    for a banded proper crossing the orientation dot is bounded away
+    from zero).
+
+    Plan shape: ONE user_id Exchange builds the step frame (row_number
+    rides the same window spec as the lags — no second sort), then the
+    banded self-join shuffles both sides by (user_id, blk) — at sandbox
+    scale AQE broadcasts the right side, at 100 TB it is a co-partitioned
+    shuffle join on a key that scales with users, not pairs.  Everything
+    downstream of the Arrow-free frame is whole-stage codegen."""
+    W = specs.SELF_INTERSECT_W
+
+    def _build_base() -> DataFrame:
+        st = _traj_window(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        return st.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("seq"),
+            "px",
+            "py",
+            "pz",
+            "x",
+            "y",
+            "z",
+        )
+
+    # persisted once per session: the self-join's two sides otherwise each
+    # rebuild the scan + window chain (ReuseExchange stops at the divergent
+    # block projections — the doc_bigrams lesson)
+    base = _aux_persisted(spark, sf_dir, "self_intersect_base", _build_base)
+    left = base.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("seq").alias("sa"),
+        F.col("px").alias("pax"),
+        F.col("py").alias("pay"),
+        F.col("pz").alias("paz"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("z").alias("az"),
+        F.explode(
+            F.array(F.expr(f"seq div {W}"), F.expr(f"seq div {W}") + F.lit(1))
+        ).alias("blk"),
+    )
+    right = base.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("seq").alias("sb"),
+        F.col("px").alias("pbx"),
+        F.col("py").alias("pby"),
+        F.col("pz").alias("pbz"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("z").alias("bz"),
+        F.expr(f"seq div {W}").alias("blk"),
+    )
+    j = left.join(right, on=["user_id", "blk"]).where(
+        (F.col("sb") - F.col("sa") >= 2) & (F.col("sb") - F.col("sa") <= W)
+    )
+    abx = F.col("pay") * F.col("az") - F.col("paz") * F.col("ay")
+    aby = F.col("paz") * F.col("ax") - F.col("pax") * F.col("az")
+    abz = F.col("pax") * F.col("ay") - F.col("pay") * F.col("ax")
+    cdx = F.col("pby") * F.col("bz") - F.col("pbz") * F.col("by")
+    cdy = F.col("pbz") * F.col("bx") - F.col("pbx") * F.col("bz")
+    cdz = F.col("pbx") * F.col("by") - F.col("pby") * F.col("bx")
+    j = j.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        (F.col("sb") - F.col("sa")).cast("long").alias("gap"),
+        "pax",
+        "pay",
+        "paz",
+        "ax",
+        "ay",
+        "az",
+        abx.alias("abx"),
+        aby.alias("aby"),
+        abz.alias("abz"),
+        cdx.alias("cdx"),
+        cdy.alias("cdy"),
+        cdz.alias("cdz"),
+        (
+            -(
+                abx * F.col("pbx") + aby * F.col("pby") + abz * F.col("pbz")
+            )
+        ).alias("acb"),
+        (abx * F.col("bx") + aby * F.col("by") + abz * F.col("bz")).alias("bda"),
+        (-(cdx * F.col("ax") + cdy * F.col("ay") + cdz * F.col("az"))).alias(
+            "cbd"
+        ),
+        (cdx * F.col("pax") + cdy * F.col("pay") + cdz * F.col("paz")).alias(
+            "dac"
+        ),
+    )
+    eps = F.lit(specs.SELF_INTERSECT_EPS)
+    crossed = (
+        (F.col("acb") * F.col("bda") > eps)
+        & (F.col("acb") * F.col("cbd") > eps)
+        & (F.col("acb") * F.col("dac") > eps)
+    )
+    c = j.where(crossed)
+    rx = F.col("aby") * F.col("cdz") - F.col("abz") * F.col("cdy")
+    ry = F.col("abz") * F.col("cdx") - F.col("abx") * F.col("cdz")
+    rz = F.col("abx") * F.col("cdy") - F.col("aby") * F.col("cdx")
+    c = c.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        "gap",
+        "pax",
+        "pay",
+        "paz",
+        "ax",
+        "ay",
+        "az",
+        rx.alias("rx"),
+        ry.alias("ry"),
+        rz.alias("rz"),
+    )
+    sdot = (
+        F.col("rx") * (F.col("pax") + F.col("ax"))
+        + F.col("ry") * (F.col("pay") + F.col("ay"))
+        + F.col("rz") * (F.col("paz") + F.col("az"))
+    )
+    nrm = F.sqrt(
+        F.col("rx") * F.col("rx")
+        + F.col("ry") * F.col("ry")
+        + F.col("rz") * F.col("rz")
+    )
+    sgn = F.when(sdot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ux = sgn * F.col("rx") / nrm
+    uy = sgn * F.col("ry") / nrm
+    uz = sgn * F.col("rz") / nrm
+    lat = F.degrees(F.atan2(uz, F.sqrt(ux * ux + uy * uy)))
+    lng = F.degrees(F.atan2(uy, ux))
+    return c.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        "gap",
+        F.round(lat, 6).alias("cross_lat_r"),
+        F.round(lng, 6).alias("cross_lng_r"),
+    )
+
+
 def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory-overlap similarity join: Jaccard + containment between
     every two users' occupied level-6 tile SETS (CellUnion intersection
@@ -4750,6 +4930,7 @@ QUERIES = {
     "s2_traj_jaccard": q_traj_jaccard,
     "s2_line_crossings": q_line_crossings,
     "s2_crossing_points": q_crossing_points,
+    "s2_self_intersect": q_self_intersect,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_moran": q_moran,

@@ -336,6 +336,32 @@ SIMPLIFY_TOL_RAD = 1.2
 TRAJ_JACCARD_LEVEL = 6
 TRAJ_TILE_CAP = 200
 
+# s2_self_intersect: trajectory self-crossing detection.  Candidate pairs
+# are steps of the SAME user at sequence gap 2..W (gap 1 shares an endpoint;
+# gap > W is out of the loop-detection window), generated by a banded
+# self-join on (user_id, seq div W) — each left step is emitted into its own
+# block and the next, which is COMPLETE for gap <= W (floor(sj/W) -
+# floor(si/W) is 0 or 1), so the band is pure optimization and the oracle
+# may use the semantically-equal direct gap join.  Work is O(n * W) at any
+# scale.  W = 16 is ~1/4 of a trajectory (users hold ~66 events at every
+# SF), keeping the detector local-loop-shaped while exercising both block
+# cases.
+SELF_INTERSECT_W = 16
+
+# Determinacy band for the self-intersection sign tests.  Both segments are
+# trig-derived, and the sf1 replication's LCG lattice produces EXACTLY
+# collinear step triples (arithmetic progressions in (lat, lng) are
+# point-reflection symmetric through the shared great circle), whose sign
+# products are true zeros computed as ~1e-17 noise — engine-UNSTABLE under
+# a strict > 0 test.  A proper crossing must clear this band instead (the
+# relational twin of simple_crossing returning "uncertain" for degenerate
+# input and deferring to exact predicates, edge_crossings.rs).  Measured
+# gap: computed |product| on exact-touch pairs <= 4.8e-17 (4 pairs, sf1
+# only), minimum GENUINE |product| = 8.2e-07 / 1.8e-10 / 1.4e-09 / 4.9e-12
+# at sf0.001/0.01/0.1/1 — 1e-13 sits ~2 orders from both populations, and
+# product noise (~1e-15 absolute) can never carry a value across it.
+SELF_INTERSECT_EPS = 1e-13
+
 # doc_keyterms: top-K distinctive terms per document.  K=3 keeps the output
 # doc-bounded while still exercising the full rank window (docs have ~30
 # distinct terms at every SF, so rank 3 is never vacuous).

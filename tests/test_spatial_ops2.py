@@ -305,3 +305,81 @@ def test_traj_simplify_matches_numpy(spark):
     kept_frac = sum(k for *_, k in got.values()) / len(got)
     assert 0.2 < kept_frac < 0.9  # both classes non-trivial
     clear_geo_cache()
+
+
+def test_self_intersect_matches_numpy(spark):
+    """Third direction for s2_self_intersect: the banded-join candidate set,
+    the simple_crossing predicate, and the get_intersection point chain vs
+    an explicit per-user double loop in numpy — plus the exactness
+    precondition (every |sign product| across every CANDIDATE pair clears
+    the ~1e-15 product noise floor by orders of magnitude; both segments
+    are trig-derived here, unlike s2_line_crossings' literal fence)."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_self_intersect"](spark, SF).collect()
+    ids, us, uid, xs, pairs = _steps()
+    W = specs.SELF_INTERSECT_W
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for a, b in pairs:
+        by_user.setdefault(int(uid[a]), []).append((a, b))
+    want = {}
+    min_margin = np.inf
+    n_cand = 0
+    for u, steps in by_user.items():
+        for i in range(len(steps)):
+            for j in range(i + 2, min(i + W, len(steps) - 1) + 1):
+                n_cand += 1
+                ai, bi = steps[i]
+                aj, bj = steps[j]
+                pax, pay, paz = xs[ai]
+                ax, ay, az = xs[bi]
+                pbx, pby, pbz = xs[aj]
+                bx, by, bz = xs[bj]
+                abx, aby, abz = (
+                    pay * az - paz * ay,
+                    paz * ax - pax * az,
+                    pax * ay - pay * ax,
+                )
+                cdx, cdy, cdz = (
+                    pby * bz - pbz * by,
+                    pbz * bx - pbx * bz,
+                    pbx * by - pby * bx,
+                )
+                acb = -(abx * pbx + aby * pby + abz * pbz)
+                bda = abx * bx + aby * by + abz * bz
+                cbd = -(cdx * ax + cdy * ay + cdz * az)
+                dac = cdx * pax + cdy * pay + cdz * paz
+                prods = (acb * bda, acb * cbd, acb * dac)
+                min_margin = min(min_margin, min(abs(p) for p in prods))
+                eps = specs.SELF_INTERSECT_EPS
+                if prods[0] > eps and prods[1] > eps and prods[2] > eps:
+                    rx = aby * cdz - abz * cdy
+                    ry = abz * cdx - abx * cdz
+                    rz = abx * cdy - aby * cdx
+                    sdot = rx * (pax + ax) + ry * (pay + ay) + rz * (paz + az)
+                    nrm = np.sqrt(rx * rx + ry * ry + rz * rz)
+                    sgn = -1.0 if sdot < 0 else 1.0
+                    ux, uy, uz = sgn * rx / nrm, sgn * ry / nrm, sgn * rz / nrm
+                    lat = round(
+                        float(np.degrees(np.arctan2(uz, np.sqrt(ux * ux + uy * uy)))), 6
+                    )
+                    lng = round(float(np.degrees(np.arctan2(uy, ux))), 6)
+                    want[(int(ids[bi]), int(ids[bj]))] = (u, j - i, lat, lng)
+    got = {
+        (r.event_a, r.event_b): (r.user_id, r.gap, r.cross_lat_r, r.cross_lng_r)
+        for r in rows
+    }
+    assert got == want
+    # non-trivial at the smallest SF: crossings exist but are a strict
+    # subset of the candidates
+    assert 10 < len(got) < n_cand
+    # every gap in [2, W] is reachable; the data must exercise both
+    # block-join cases (same block and adjacent block)
+    assert min(g for _, g, _, _ in got.values()) == 2
+    assert max(g for _, g, _, _ in got.values()) >= W // 2
+    # two-population gap: every candidate product is either an exact-touch
+    # zero (computed < 1e-15, sf1-lattice only — none at this SF) or a
+    # genuine margin far above the 1e-13 determinacy band, so no value can
+    # sit near the band edge where ~1e-15 engine noise could flip it
+    assert min_margin > 100 * specs.SELF_INTERSECT_EPS, min_margin
+    clear_geo_cache()
