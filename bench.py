@@ -71,6 +71,7 @@ HEADLINE = [
     "s2_traj_jaccard",
     "s2_line_crossings",
     "s2_self_intersect",
+    "s2_stay_points",
     "s2_crossing_points",
     "doc_keyterms",
     "doc_bigrams",

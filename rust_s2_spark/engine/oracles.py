@@ -1965,6 +1965,45 @@ FROM w2
 """
 
 
+def o_stay_points() -> str:
+    """Gaps-and-islands replay: the o_speed_filter frame verbatim (dt /
+    6-dp dist / rounded speed, identical op tree), row_number over the
+    step frame and over the slow subset under the same window spec,
+    grp = seq - rn, then one all-integer aggregate per island — min_by /
+    max_by on the unique seq, bigint count/sums, micro-degree path length
+    via CAST(round(dist*1e6) AS BIGINT) so the SUM is reorder-proof."""
+    thr = specs.f(specs.STAY_SPEED_DEG_H)
+    return f"""
+WITH pts AS ({_latlng_cte()}),
+{_TRAJ_STEP_CTES.strip()},
+d AS (
+  SELECT user_id, event_id, prev_event, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
+    epoch_us(ts) - epoch_us(prev_ts) AS dt_us,
+    round(degrees(2.0 * asin(0.5 * sqrt(least({_CHORD2}, 4.0)))), 6) AS dist_deg_r
+  FROM st WHERE prev_event IS NOT NULL
+),
+slow AS (
+  SELECT * FROM d
+  WHERE dt_us > 0
+    AND round(dist_deg_r * 3600000000.0 / CAST(dt_us AS DOUBLE), 6) <= {thr}
+),
+isl AS (
+  SELECT *, seq - row_number()
+    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS grp
+  FROM slow
+)
+SELECT user_id,
+  min_by(prev_event, seq) AS start_event,
+  max_by(event_id, seq) AS end_event,
+  CAST(count(*) AS BIGINT) AS n_steps,
+  CAST(sum(dt_us) AS BIGINT) AS dur_us,
+  CAST(sum(CAST(round(dist_deg_r * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS dist_udeg
+FROM isl
+GROUP BY user_id, grp
+"""
+
+
 def o_traj_jaccard() -> str:
     """Tile-set overlap replay: recursive Hilbert encode -> level ancestor,
     DISTINCT (user, tile), the same > TRAJ_TILE_CAP stop-tile drop, then a
@@ -3282,6 +3321,7 @@ ORACLES = {
     "s2_line_crossings": o_line_crossings,
     "s2_crossing_points": o_crossing_points,
     "s2_self_intersect": o_self_intersect,
+    "s2_stay_points": o_stay_points,
     "s2_tile_churn": o_tile_churn,
     "s2_hotspot": o_hotspot,
     "s2_moran": o_moran,

@@ -4561,6 +4561,75 @@ def q_self_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop / dwell detection: maximal runs of consecutive SLOW steps per
+    user (speed_r <= STAY_SPEED_DEG_H on the same 6-dp rounded speed the
+    gated s2_speed_filter emits), each run collapsed to one stay row —
+    the stay-point primitive trajectory mining builds visits, POIs, and
+    home/work inference on.  The spatial twin of sessionize: islands are
+    keyed on speed instead of time gap.
+
+    Gaps-and-islands, all-integer: seq is row_number over the step frame,
+    rn is row_number over the SLOW subset under the identical window
+    spec, and grp = seq - rn is constant exactly on maximal slow runs.
+    Every output is engine-exact by construction — ids via min_by/max_by
+    on the unique seq, n_steps / dur_us are bigint counts/sums, and the
+    run's path length sums CAST(round(dist_deg_r * 1e6) AS BIGINT)
+    micro-degrees (each term is a 6-dp-rounded double scaled to within an
+    ulp of an integer, so the bigint conversion is unambiguous and the
+    SUM is reorder-proof — the s2_decay_density integer-emission idiom).
+
+    Plan shape: ONE user_id Exchange.  Both row_numbers and the lag frame
+    share one window spec (no second sort); the filter between them
+    preserves partitioning; and the final groupBy(user_id, grp) rides the
+    existing hashpartitioning(user_id) — hash(user_id) clusters every
+    (user_id, grp) group — so Catalyst inserts no agg Exchange."""
+    st = _traj_window(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dt = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    chord2 = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
+    )
+    dist = F.round(
+        F.degrees(2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))), 6
+    )
+    d = st.select(
+        "user_id",
+        "event_id",
+        "prev_event",
+        "ts",
+        F.row_number().over(w).alias("seq"),
+        dt.alias("dt_us"),
+        dist.alias("dist_deg_r"),
+    )
+    speed = F.round(
+        F.col("dist_deg_r") * F.lit(3600000000.0) / F.col("dt_us").cast("double"), 6
+    )
+    slow = d.where((F.col("dt_us") > 0) & (speed <= F.lit(specs.STAY_SPEED_DEG_H)))
+    s = slow.select(
+        "*", (F.col("seq") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        s.groupBy("user_id", "grp")
+        .agg(
+            F.expr("min_by(prev_event, seq)").alias("start_event"),
+            F.expr("max_by(event_id, seq)").alias("end_event"),
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum("dt_us").alias("dur_us"),
+            F.sum(
+                F.expr("CAST(round(dist_deg_r * 1000000.0, 0) AS BIGINT)")
+            ).alias("dist_udeg"),
+        )
+        .select(
+            "user_id", "start_event", "end_event", "n_steps", "dur_us", "dist_udeg"
+        )
+    )
+
+
 def q_traj_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory-overlap similarity join: Jaccard + containment between
     every two users' occupied level-6 tile SETS (CellUnion intersection
@@ -4931,6 +5000,7 @@ QUERIES = {
     "s2_line_crossings": q_line_crossings,
     "s2_crossing_points": q_crossing_points,
     "s2_self_intersect": q_self_intersect,
+    "s2_stay_points": q_stay_points,
     "s2_tile_churn": q_tile_churn,
     "s2_hotspot": q_hotspot,
     "s2_moran": q_moran,

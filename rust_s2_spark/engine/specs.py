@@ -348,6 +348,17 @@ TRAJ_TILE_CAP = 200
 # cases.
 SELF_INTERSECT_W = 16
 
+# s2_stay_points: stop/dwell detection — maximal runs of consecutive slow
+# steps (the gaps-and-islands twin of sessionize, keyed on speed instead of
+# time gap).  The threshold is compared against the same 6-dp ROUNDED speed
+# the already-gated s2_speed_filter emits (identical op tree, so the
+# cross-engine story is inherited, not re-argued).  8.0 deg/h sits below
+# the ~11 deg/h median LCG step speed: ~39% of steps are slow at every SF,
+# yielding plentiful islands with a non-trivial multi-step population
+# (measured islands / multi-step: 250/92 at sf0.001, 2,356/955 at sf0.01,
+# 23,566/9,165 at sf0.1).
+STAY_SPEED_DEG_H = 8.0
+
 # Determinacy band for the self-intersection sign tests.  Both segments are
 # trig-derived, and the sf1 replication's LCG lattice produces EXACTLY
 # collinear step triples (arithmetic progressions in (lat, lng) are

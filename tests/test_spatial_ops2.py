@@ -383,3 +383,62 @@ def test_self_intersect_matches_numpy(spark):
     # sit near the band edge where ~1e-15 engine noise could flip it
     assert min_margin > 100 * specs.SELF_INTERSECT_EPS, min_margin
     clear_geo_cache()
+
+
+def test_stay_points_matches_numpy(spark):
+    """Third direction for s2_stay_points: the gaps-and-islands collapse vs
+    an explicit per-user run scan in numpy/python — maximal slow runs, the
+    all-integer aggregates, and the micro-degree path-length emission."""
+    from rust_s2_spark.engine.queries import QUERIES, clear_geo_cache
+
+    rows = QUERIES["s2_stay_points"](spark, SF).collect()
+    ids, us, uid, xs, pairs = _steps()
+    thr = specs.STAY_SPEED_DEG_H
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for a, b in pairs:
+        by_user.setdefault(int(uid[a]), []).append((a, b))
+    want = {}
+    for u, steps in by_user.items():
+        run: list[tuple[int, int]] = []
+        runs: list[list[tuple[int, int]]] = []
+        for a, b in steps:
+            dt = int(us[b] - us[a])
+            chord2 = float(((xs[b] - xs[a]) ** 2).sum())
+            dist = round(
+                float(np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(min(chord2, 4.0))))), 6
+            )
+            slow = dt > 0 and round(dist * 3600000000.0 / float(dt), 6) <= thr
+            if slow:
+                run.append((a, b))
+            elif run:
+                runs.append(run)
+                run = []
+        if run:
+            runs.append(run)
+        for r in runs:
+            dur = sum(int(us[b] - us[a]) for a, b in r)
+            udeg = 0
+            for a, b in r:
+                chord2 = float(((xs[b] - xs[a]) ** 2).sum())
+                dist = round(
+                    float(
+                        np.degrees(2.0 * np.arcsin(0.5 * np.sqrt(min(chord2, 4.0))))
+                    ),
+                    6,
+                )
+                udeg += int(round(dist * 1000000.0, 0))
+            want[(u, int(ids[r[0][0]]))] = (
+                int(ids[r[-1][1]]),
+                len(r),
+                dur,
+                udeg,
+            )
+    got = {
+        (r.user_id, r.start_event): (r.end_event, r.n_steps, r.dur_us, r.dist_udeg)
+        for r in rows
+    }
+    assert got == want
+    # both island classes exist: single-step and multi-step stays
+    lens = [v[1] for v in got.values()]
+    assert 1 in lens and max(lens) >= 3
+    clear_geo_cache()

@@ -76,6 +76,8 @@ AUDIT = [
     "s2_moran",
     "s2_ripley_k",
     "s2_crossing_points",
+    "s2_self_intersect",
+    "s2_stay_points",
     "s2_tile_diversity",
     "s2_idw_smooth",
     "s2_decay_density",
