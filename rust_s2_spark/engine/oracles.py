@@ -1901,8 +1901,9 @@ st AS (
 ),
 sf AS (SELECT * FROM st WHERE prev_event IS NOT NULL),
 sq AS (
-  -- row_number over the FILTERED step frame (windows evaluate before
-  -- WHERE in the same block, so the filter must live one block below)
+  -- row_number over the FILTERED step frame.  (SQL applies WHERE before
+  -- SELECT-clause window functions, so a same-block filter would also
+  -- work; the explicit sf block just keeps the two steps readable.)
   SELECT user_id, event_id,
     row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
     px, py, pz, x, y, z

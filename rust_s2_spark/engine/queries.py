@@ -19,7 +19,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..kernel.covering import RegionCoverer
@@ -4044,6 +4044,31 @@ def _traj_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("prev_event").isNotNull())
 
 
+def _step_dt_dist_cols() -> tuple[Column, Column]:
+    """The speed-frame op tree over a _traj_window step row: exact int64
+    microsecond dt and the 6-dp-rounded arc distance.  Shared by
+    q_speed_filter and q_stay_points so the stay detector's "identical op
+    tree, exactness inherited" claim is structural, not copy-paste."""
+    dt = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    chord2 = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
+    )
+    dist = F.round(
+        F.degrees(2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))), 6
+    )
+    return dt, dist
+
+
+def _speed_r_col() -> Column:
+    """speed computed FROM the already-rounded distance column, rounded
+    again — over the aliased (dt_us, dist_deg_r) columns."""
+    return F.round(
+        F.col("dist_deg_r") * F.lit(3600000000.0) / F.col("dt_us").cast("double"), 6
+    )
+
+
 def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-step speed + plausibility bands — the GPS-jump cleaning filter
     every trajectory pipeline runs before aggregation (teleporting points
@@ -4057,15 +4082,7 @@ def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     time delta is 'anomalous' by definition (infinite speed).  Plan shape:
     the shared ONE-Exchange trajectory window, then pure codegen."""
     st = _traj_window(spark, sf_dir)
-    dt = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
-    chord2 = (
-        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
-        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
-        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
-    )
-    dist = F.round(
-        F.degrees(2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))), 6
-    )
+    dt, dist = _step_dt_dist_cols()
     d = st.select(
         "user_id",
         "event_id",
@@ -4073,9 +4090,7 @@ def q_speed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.alias("dt_us"),
         dist.alias("dist_deg_r"),
     )
-    speed = F.round(
-        F.col("dist_deg_r") * F.lit(3600000000.0) / F.col("dt_us").cast("double"), 6
-    )
+    speed = _speed_r_col()
     d = d.withColumn(
         "speed_r", F.when(F.col("dt_us") > 0, speed).otherwise(F.lit(None))
     )
@@ -4300,6 +4315,35 @@ def q_crossing_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_crossing_frame(_traj_window(spark, sf_dir), points=True)
 
 
+def _intersection_latlng_cols(
+    ab: tuple[Column, Column, Column],
+    cd: tuple[Column, Column, Column],
+    a: tuple[Column, Column, Column],
+    b: tuple[Column, Column, Column],
+) -> tuple[Column, Column]:
+    """get_intersection emission (edgeutil.rs:228-269) shared by
+    s2_crossing_points and s2_self_intersect: r = (ab x cd) sign-oriented
+    toward the arc midpoint chord (a + b), normalized, 6-dp atan2 lat/lng
+    (atan2 latitude so ulp-scale |z| > 1 can never NaN).  ONE op tree for
+    both queries so their op-mirroring oracles cannot silently diverge."""
+    abx, aby, abz = ab
+    cdx, cdy, cdz = cd
+    ax_, ay_, az_ = a
+    bx_, by_, bz_ = b
+    rx = aby * cdz - abz * cdy
+    ry = abz * cdx - abx * cdz
+    rz = abx * cdy - aby * cdx
+    sdot = rx * (ax_ + bx_) + ry * (ay_ + by_) + rz * (az_ + bz_)
+    nrm = F.sqrt(rx * rx + ry * ry + rz * rz)
+    sgn = F.when(sdot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ux = sgn * rx / nrm
+    uy = sgn * ry / nrm
+    uz = sgn * rz / nrm
+    lat = F.degrees(F.atan2(uz, F.sqrt(ux * ux + uy * uy)))
+    lng = F.degrees(F.atan2(uy, ux))
+    return F.round(lat, 6), F.round(lng, 6)
+
+
 def line_crossing_frame(st: DataFrame, points: bool = False) -> DataFrame:
     """Crossing detection over any step frame carrying (user_id, event_id,
     prev_event, px, py, pz, x, y, z) — shared by the batch query and the
@@ -4359,25 +4403,13 @@ def line_crossing_frame(st: DataFrame, points: bool = False) -> DataFrame:
         # intersection = (ab x cd), sign-oriented toward the arc midpoint
         # chord (a+b), normalized — edgeutil.rs get_intersection semantics
         # for a proper crossing.  Op order mirrored by the oracle.
-        rx = aby * F.col("s.cdz") - abz * F.col("s.cdy")
-        ry = abz * F.col("s.cdx") - abx * F.col("s.cdz")
-        rz = abx * F.col("s.cdy") - aby * F.col("s.cdx")
-        sdot = (
-            rx * (F.col("px") + F.col("x"))
-            + ry * (F.col("py") + F.col("y"))
-            + rz * (F.col("pz") + F.col("z"))
+        lat, lng = _intersection_latlng_cols(
+            (abx, aby, abz),
+            (F.col("s.cdx"), F.col("s.cdy"), F.col("s.cdz")),
+            (F.col("px"), F.col("py"), F.col("pz")),
+            (F.col("x"), F.col("y"), F.col("z")),
         )
-        nrm = F.sqrt(rx * rx + ry * ry + rz * rz)
-        sgn = F.when(sdot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-        ux = sgn * rx / nrm
-        uy = sgn * ry / nrm
-        uz = sgn * rz / nrm
-        lat = F.degrees(F.atan2(uz, F.sqrt(ux * ux + uy * uy)))
-        lng = F.degrees(F.atan2(uy, ux))
-        cols += [
-            F.round(lat, 6).alias("cross_lat_r"),
-            F.round(lng, 6).alias("cross_lng_r"),
-        ]
+        cols += [lat.alias("cross_lat_r"), lng.alias("cross_lng_r")]
     return e.withColumn("dac", dac).where(crossed).select(*cols)
 
 
@@ -4517,47 +4549,19 @@ def q_self_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("acb") * F.col("dac") > eps)
     )
     c = j.where(crossed)
-    rx = F.col("aby") * F.col("cdz") - F.col("abz") * F.col("cdy")
-    ry = F.col("abz") * F.col("cdx") - F.col("abx") * F.col("cdz")
-    rz = F.col("abx") * F.col("cdy") - F.col("aby") * F.col("cdx")
-    c = c.select(
-        "user_id",
-        "event_a",
-        "event_b",
-        "gap",
-        "pax",
-        "pay",
-        "paz",
-        "ax",
-        "ay",
-        "az",
-        rx.alias("rx"),
-        ry.alias("ry"),
-        rz.alias("rz"),
+    lat, lng = _intersection_latlng_cols(
+        (F.col("abx"), F.col("aby"), F.col("abz")),
+        (F.col("cdx"), F.col("cdy"), F.col("cdz")),
+        (F.col("pax"), F.col("pay"), F.col("paz")),
+        (F.col("ax"), F.col("ay"), F.col("az")),
     )
-    sdot = (
-        F.col("rx") * (F.col("pax") + F.col("ax"))
-        + F.col("ry") * (F.col("pay") + F.col("ay"))
-        + F.col("rz") * (F.col("paz") + F.col("az"))
-    )
-    nrm = F.sqrt(
-        F.col("rx") * F.col("rx")
-        + F.col("ry") * F.col("ry")
-        + F.col("rz") * F.col("rz")
-    )
-    sgn = F.when(sdot < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    ux = sgn * F.col("rx") / nrm
-    uy = sgn * F.col("ry") / nrm
-    uz = sgn * F.col("rz") / nrm
-    lat = F.degrees(F.atan2(uz, F.sqrt(ux * ux + uy * uy)))
-    lng = F.degrees(F.atan2(uy, ux))
     return c.select(
         "user_id",
         "event_a",
         "event_b",
         "gap",
-        F.round(lat, 6).alias("cross_lat_r"),
-        F.round(lng, 6).alias("cross_lng_r"),
+        lat.alias("cross_lat_r"),
+        lng.alias("cross_lng_r"),
     )
 
 
@@ -4588,15 +4592,7 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    dt = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
-    chord2 = (
-        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
-        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
-        + (F.col("z") - F.col("pz")) * (F.col("z") - F.col("pz"))
-    )
-    dist = F.round(
-        F.degrees(2.0 * F.asin(0.5 * F.sqrt(F.least(chord2, F.lit(4.0))))), 6
-    )
+    dt, dist = _step_dt_dist_cols()
     d = st.select(
         "user_id",
         "event_id",
@@ -4606,10 +4602,9 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.alias("dt_us"),
         dist.alias("dist_deg_r"),
     )
-    speed = F.round(
-        F.col("dist_deg_r") * F.lit(3600000000.0) / F.col("dt_us").cast("double"), 6
+    slow = d.where(
+        (F.col("dt_us") > 0) & (_speed_r_col() <= F.lit(specs.STAY_SPEED_DEG_H))
     )
-    slow = d.where((F.col("dt_us") > 0) & (speed <= F.lit(specs.STAY_SPEED_DEG_H)))
     s = slow.select(
         "*", (F.col("seq") - F.row_number().over(w)).alias("grp")
     )

@@ -92,11 +92,15 @@ def test_spark_submit_py_files_ships_package(tmp_path):
     # the job's final line is its JSON report
     report = None
     for line in r.stdout.strip().splitlines()[::-1]:
+        if not line.lstrip().startswith("{"):
+            continue  # a bare JSON scalar on a later line is not the report
         try:
-            report = json.loads(line)
-            break
+            cand = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if isinstance(cand, dict) and "stages" in cand:
+            report = cand
+            break
     assert report is not None, r.stdout[-2000:]
     stages = report["stages"]
     assert set(stages) == {"ingest", "geo", "joined", "rollup"}
